@@ -1,0 +1,97 @@
+"""High-level render API: chunked, jitted, differentiable.
+
+Replaces the reference's tile work queue (macos_main.mm:564-671): the
+(pixel x sample) space is statically partitioned into device-sized ray
+batches — no queue, no atomics, no spin-wait. Each batch is one jitted
+wavefront launch; sample chunks accumulate inside jit via lax.scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from offline_raytracer_tpu.config import RenderConfig
+from offline_raytracer_tpu.integrator import make_brute_trace_fn, trace_paths
+from offline_raytracer_tpu.ops.camera import generate_rays
+from offline_raytracer_tpu.scene.types import Scene
+from offline_raytracer_tpu.utils import rng
+
+
+def _trace_builder(scene: Scene, cfg: RenderConfig):
+    """Pick the trace function: BVH for triangle-heavy scenes, dense sweep
+    otherwise (ops/intersect.py docstring)."""
+    if cfg.use_bvh and int(scene.triangles.mat.shape[0]) > 64:
+        from offline_raytracer_tpu.ops.traverse import make_bvh_trace_fn
+        return make_bvh_trace_fn(scene, cfg)
+    return make_brute_trace_fn(scene, cfg)
+
+
+def render_block(scene: Scene, cfg: RenderConfig, pixel_ids, sample_lo: int, n_samples: int):
+    """Render `n_samples` paths for each pixel id. Returns (P, 3) mean radiance.
+
+    Pure function of (scene, pixel_ids) — safe to jit/grad/shard. Samples
+    are chunked through a lax.scan so peak memory stays at one ray batch.
+    """
+    P = pixel_ids.shape[0]
+    trace_fn = _trace_builder(scene, cfg)
+    root = rng.render_key(cfg.seed)
+
+    def one_sample(accum, sample_idx):
+        ps_keys = rng.pixel_sample_keys(
+            root, pixel_ids, jnp.full((P,), sample_idx, jnp.int32))
+        ro, rd = generate_rays(scene.camera, cfg, pixel_ids, ps_keys)
+        radiance = trace_paths(scene, cfg, trace_fn, ro, rd, ps_keys)
+        return accum + radiance, None
+
+    accum, _ = jax.lax.scan(
+        one_sample, jnp.zeros((P, 3)), sample_lo + jnp.arange(n_samples))
+    return accum / n_samples
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sample_lo", "n_samples"))
+def render_block_jit(scene, cfg, pixel_ids, sample_lo, n_samples):
+    return render_block(scene, cfg, pixel_ids, sample_lo, n_samples)
+
+
+def render_image(scene: Scene, cfg: RenderConfig, progress: bool = False) -> np.ndarray:
+    """Full render -> (H, W, 3) float32, row 0 = top (image convention).
+
+    Host loop over pixel blocks; sample accumulation happens on device.
+    """
+    n_pixels = cfg.width * cfg.height
+    block = min(n_pixels, max(1, cfg.ray_batch))
+    img = np.zeros((n_pixels, 3), np.float32)
+    spp_chunk = max(1, min(cfg.spp, cfg.ray_batch // block))
+
+    for start in range(0, n_pixels, block):
+        ids = np.arange(start, min(start + block, n_pixels), dtype=np.int32)
+        acc = np.zeros((ids.size, 3), np.float32)
+        done = 0
+        while done < cfg.spp:
+            k = min(spp_chunk, cfg.spp - done)
+            out = render_block_jit(scene, cfg, jnp.asarray(ids), done, k)
+            acc += np.asarray(out) * k
+            done += k
+            if progress:
+                print(f"pixels [{start}:{start + ids.size}) spp {done}/{cfg.spp}", flush=True)
+        img[ids] = acc / cfg.spp
+
+    # pixel row 0 is the bottom scanline (ray.cpp:1216); flip to image order
+    return img.reshape(cfg.height, cfg.width, 3)[::-1]
+
+
+def render_image_jnp(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
+    """Single-jit differentiable render for small images (inverse rendering).
+
+    Returns (H, W, 3) with row 0 = top. Everything — ray gen, bounce scan,
+    sample accumulation — stays inside one traced computation so jax.grad
+    works end to end.
+    """
+    n_pixels = cfg.width * cfg.height
+    pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+    out = render_block(scene, cfg, pixel_ids, 0, cfg.spp)
+    return out.reshape(cfg.height, cfg.width, 3)[::-1]

@@ -1,0 +1,51 @@
+"""Counter-based RNG for reproducible, shardable sampling.
+
+The reference uses a mutable per-tile xorshift32 stream (random.h:5-117)
+whose sequence depends on execution order — impossible to shard
+deterministically. Here every random draw is keyed by
+(base_seed, pixel_id, sample_id, bounce, purpose) through JAX's threefry
+counter-based PRNG, so renders are bitwise identical regardless of device
+count or tiling (SURVEY.md §5 "multi-host determinism").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Stream ids ("purpose") for decorrelated draws inside one bounce.
+STREAM_APERTURE = 0
+STREAM_PIXEL_JITTER = 1
+STREAM_LOBE = 2
+STREAM_BSDF = 3
+STREAM_LIGHT = 4
+STREAM_RR = 5
+
+
+def render_key(seed: int):
+    """Root key for a render."""
+    return jax.random.PRNGKey(seed)
+
+
+def pixel_sample_keys(root, pixel_ids, sample_ids):
+    """Per-ray keys for (pixel, spp-sample) pairs: (R,) key array.
+
+    Determinism contract: a ray's entire random sequence is a pure function
+    of (seed, pixel_id, sample_id) — never of its slot in a batch — so any
+    tiling/sharding of the ray set produces the identical image.
+    """
+    ks = jax.vmap(jax.random.fold_in, (None, 0))(root, pixel_ids)
+    return jax.vmap(jax.random.fold_in)(ks, sample_ids)
+
+
+def stream_keys(ps_keys, bounce, stream):
+    """Derive the (bounce, purpose-stream) keys from per-ray keys: (R,)."""
+    tag = bounce * 16 + stream
+    if jnp.ndim(tag) == 0:
+        return jax.vmap(jax.random.fold_in, (0, None))(ps_keys, tag)
+    return jax.vmap(jax.random.fold_in)(ps_keys, tag)
+
+
+def batched_uniform(keys, n: int = 1):
+    """(R,) keys -> (R, n) uniforms in [0, 1)."""
+    return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(keys)
