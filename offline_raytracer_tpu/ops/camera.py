@@ -14,19 +14,31 @@ import jax.numpy as jnp
 from offline_raytracer_tpu.config import RenderConfig
 from offline_raytracer_tpu.scene.types import Camera
 from offline_raytracer_tpu.utils import rng
-from offline_raytracer_tpu.utils.math import normalize, quat_rotate
+from offline_raytracer_tpu.utils.math import normalize
 
 
 def make_camera(p, height_ratio, quaternion_xyzw, width, height) -> Camera:
-    """Build the camera pytree from .scn parameters (macos_main.mm:550-556)."""
-    p = jnp.asarray(p, jnp.float32)
-    q = jnp.asarray(quaternion_xyzw, jnp.float32)
+    """Build the camera pytree from .scn parameters (macos_main.mm:550-556).
+
+    Host-side (numpy) on purpose: scene setup happens once per render, and
+    eager per-op XLA compiles are expensive on small hosts.
+    """
+    import numpy as np
+
+    p = np.asarray(p, np.float32)
+    q = np.asarray(quaternion_xyzw, np.float64)
+    qv, w = q[:3], q[3]
+
+    def rot(v):
+        t = 2.0 * np.cross(qv, v)
+        return (v + w * t + np.cross(qv, t)).astype(np.float32)
+
     aspect = width / height
     return Camera(
-        p=p,
-        x_axis=height_ratio * aspect * quat_rotate(q, jnp.array([1.0, 0.0, 0.0])),
-        y_axis=height_ratio * quat_rotate(q, jnp.array([0.0, 1.0, 0.0])),
-        z_axis=quat_rotate(q, jnp.array([0.0, 0.0, 1.0])),
+        p=jnp.asarray(p),
+        x_axis=jnp.asarray(height_ratio * aspect * rot([1.0, 0.0, 0.0])),
+        y_axis=jnp.asarray(height_ratio * rot([0.0, 1.0, 0.0])),
+        z_axis=jnp.asarray(rot([0.0, 0.0, 1.0])),
     )
 
 
