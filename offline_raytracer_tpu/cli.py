@@ -1,0 +1,114 @@
+"""Command-line renderer.
+
+The entry point the reference hardcodes into main() (macos_main.mm:289-710:
+fixed scene path, fixed 1280x720, fixed 2048 spp) — here every knob is a
+flag. Usage:
+
+    python -m offline_raytracer_tpu.cli --scene data/testscene.scn \
+        --width 1280 --height 720 --spp 256 --out out/render.hdr
+    python -m offline_raytracer_tpu.cli --preset bunny --spp 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="offline_raytracer_tpu",
+        description="TPU-native differentiable path tracer")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--scene", help=".scn scene file")
+    src.add_argument("--preset", choices=["analytic", "letter", "bunny", "dwarf", "testscene"])
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--max-bounces", type=int, default=12)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rr", type=float, default=0.8, help="Russian-roulette survival prob")
+    p.add_argument("--no-nee", action="store_true", help="BSDF sampling only (reference mode)")
+    p.add_argument("--no-dof", action="store_true")
+    p.add_argument("--no-bvh", action="store_true")
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--reference-mode", action="store_true",
+                   help="match reference estimator: no NEE, no pixel jitter")
+    p.add_argument("--ray-batch", type=int, default=1 << 17)
+    p.add_argument("--sharded", action="store_true", help="shard over all devices")
+    p.add_argument("--out", default="out/render.hdr")
+    p.add_argument("--png", default=None, help="also write a tonemapped png")
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--progress", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    from offline_raytracer_tpu.config import RenderConfig
+    from offline_raytracer_tpu.render import render_image
+    from offline_raytracer_tpu.utils import hdr
+
+    t0 = time.time()
+    if args.scene:
+        from offline_raytracer_tpu.scene.scn import load_scene
+        scene, (w, h) = load_scene(args.scene, args.width, args.height)
+    else:
+        from offline_raytracer_tpu.models import scenes as presets
+        kw = {}
+        if args.width:
+            kw["width"] = args.width
+        if args.height:
+            kw["height"] = args.height
+        scene = presets.BY_NAME[args.preset](**kw)
+        w = args.width or scene.camera.p.shape  # width/height live in cfg below
+        w, h = args.width or 512, args.height or 512
+        if args.preset == "analytic":
+            w, h = args.width or 256, args.height or 256
+    print(f"scene loaded in {time.time()-t0:.1f}s "
+          f"({int(scene.triangles.mat.shape[0])} tris, "
+          f"{int(scene.spheres.radius.shape[0])} spheres, "
+          f"{scene.n_lights} NEE lights)", file=sys.stderr)
+
+    cfg = RenderConfig(
+        width=w, height=h, spp=args.spp, seed=args.seed,
+        max_bounces=args.max_bounces, russian_roulette=args.rr,
+        enable_nee=not (args.no_nee or args.reference_mode),
+        enable_mis=not (args.no_nee or args.reference_mode),
+        pixel_jitter=not args.reference_mode,
+        enable_dof=not args.no_dof,
+        use_bvh=not args.no_bvh,
+        use_pallas=not args.no_pallas,
+        ray_batch=args.ray_batch,
+    )
+
+    t0 = time.time()
+    if args.sharded:
+        from offline_raytracer_tpu.parallel.shard import make_mesh, render_image_sharded
+        img = render_image_sharded(scene, cfg, make_mesh())
+    else:
+        img = render_image(scene, cfg, progress=args.progress)
+    dt = time.time() - t0
+    n_paths = w * h * args.spp
+    print(f"rendered {w}x{h} @ {args.spp}spp in {dt:.1f}s "
+          f"({n_paths/dt/1e6:.2f} Mpaths/s)", file=sys.stderr)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    hdr.write_hdr(args.out, img)
+    print(f"wrote {args.out}", file=sys.stderr)
+    if args.png:
+        hdr.write_png(args.png, hdr.tonemap(img, exposure=args.exposure))
+        print(f"wrote {args.png}", file=sys.stderr)
+    print(json.dumps({"seconds": dt, "mpaths_per_s": n_paths / dt / 1e6,
+                      "width": w, "height": h, "spp": args.spp}))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,12 +43,13 @@ class RenderConfig:
 
     # acceleration
     use_bvh: bool = True
-    bvh_leaf_size: int = 8
+    bvh_leaf_size: int = 128  # packed-BVH leaves = lane width
     max_stack_depth: int = 64
 
     # execution
     ray_batch: int = 1 << 17       # rays per device step (pixels*spp chunked)
-    use_pallas: bool = False       # pallas traversal megakernel
+    use_pallas: bool = True        # pallas megakernel on TPU (auto-
+    #                                fallback: CPU backend or BVH > VMEM)
     accum_dtype: str = "float32"
 
     def replace(self, **kw) -> "RenderConfig":

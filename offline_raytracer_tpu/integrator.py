@@ -87,7 +87,7 @@ def trace_paths(
         # ------ emissive accumulation (implicit light connection, ref :1355-1371)
         if do_mis:
             light_idx = scene.mat_to_light[hit.mat]
-            pdf_area = light_ops.light_pdf_area(scene, light_idx)
+            pdf_area = light_ops.light_pdf_area(scene.lights, light_idx)
             cos_l = jnp.sum(hit.normal * (-state.direction), -1)
             p_nee = light_ops.solid_angle_pdf(pdf_area, hit.t, cos_l)
             mis_applies = (light_idx >= 0) & (state.prev_pdf >= 0.0)
@@ -121,7 +121,7 @@ def trace_paths(
         # explicit-connection block, ray.cpp:1285-1327)
         if do_nee:
             k_light = rng.stream_keys(state.keys, bounce_idx, rng.STREAM_LIGHT)
-            ls = jax.vmap(lambda k: light_ops.sample_lights(k, scene, ()))(k_light)
+            ls = light_ops.sample_lights(k_light, scene.lights, mats.emit)
             to_l = ls.p - x
             dist_l = jnp.linalg.norm(to_l, axis=-1)
             wi_l = to_l / jnp.maximum(dist_l, 1e-9)[..., None]

@@ -99,9 +99,12 @@ def eval_bsdf(n, wi, wo, mat: MatParams, distance):
     """
     n_dot_wi = jnp.sum(wi * n, -1)
     n_dot_wo = jnp.sum(wo * n, -1)
+    # reflection lobes live on wo's side, transmission on the other (the
+    # reference evaluates Kd/pi on both sides, ray.cpp:939 — a light leak)
+    same_side = (n_dot_wi * n_dot_wo) > 0.0
 
     # --- diffuse: Kd/pi (ray.cpp:939)
-    ed = mat.kd / PI
+    ed = jnp.where(same_side[..., None], mat.kd / PI, 0.0)
 
     # --- specular: Cook-Torrance with half vector oriented to wi's side
     h = jnp.sign(n_dot_wi)[..., None] * normalize(wi + wo)
@@ -111,7 +114,7 @@ def eval_bsdf(n, wi, wo, mat: MatParams, distance):
     g_spec = smith_g1(wi, n, h, mat.roughness) * smith_g1(wo, n, h, mat.roughness)
     denom_s = 4.0 * jnp.maximum(jnp.abs(n_dot_wi) * jnp.abs(n_dot_wo), 1e-6)
     es = f_spec * (d_spec * g_spec / denom_s)[..., None]
-    has_spec = (jnp.sum(mat.ks * mat.ks, -1) > 0.0) & (wi_dot_h > 0.0)
+    has_spec = (jnp.sum(mat.ks * mat.ks, -1) > 0.0) & (wi_dot_h > 0.0) & same_side
     es = jnp.where(has_spec[..., None], es, 0.0)
 
     # --- transmission: Walter et al. 2007 eq. 21 + Beer attenuation
@@ -139,9 +142,12 @@ def eval_bsdf(n, wi, wo, mat: MatParams, distance):
         jnp.abs(n_dot_wi) * jnp.abs(n_dot_wo) * jnp.maximum(jac_denom, 1e-9), 1e-9
     )
     num_t = d_t * g_t * jnp.abs(wi_dot_m) * jnp.abs(wo_dot_m) * eta_wi**2
-    et_refract = f_t * (num_t / denom_t)[..., None]
+    et_refract = jnp.where(
+        (~same_side)[..., None], f_t * (num_t / denom_t)[..., None], 0.0)
     # total internal reflection falls back to the specular lobe (ray.cpp:973-980)
-    et = jnp.where((radicand < 0.0)[..., None], es, et_refract)
+    es_tir = f_spec * (d_spec * g_spec / denom_s)[..., None]
+    es_tir = jnp.where((same_side & (wi_dot_h > 0.0))[..., None], es_tir, 0.0)
+    et = jnp.where((radicand < 0.0)[..., None], es_tir, et_refract)
     has_trans = jnp.sum(mat.kt * mat.kt, -1) > 0.0
     et = jnp.where(has_trans[..., None], att * et, 0.0)
 
@@ -155,14 +161,19 @@ def pdf_bsdf(n, wi, wo, mat: MatParams):
     n_dot_wi = jnp.sum(wi * n, -1)
     n_dot_wo = jnp.sum(wo * n, -1)
 
-    # diffuse: cosine-hemisphere |wi·N|/pi
-    pd = jnp.abs(n_dot_wi) / PI
+    # diffuse: cosine-hemisphere around the wo-facing normal; zero density
+    # on the unsampled side (the reference's |wi·N|/pi, ray.cpp:1021,
+    # double-counts the back hemisphere)
+    pd = jnp.maximum(n_dot_wi * jnp.sign(n_dot_wo), 0.0) / PI
 
-    # specular: D(h)|n·h| / (4|wi·h|)
+    same_side = (n_dot_wi * n_dot_wo) > 0.0
+
+    # specular: D(h)|n·h| / (4|wi·h|), reflection side only
     h = jnp.sign(n_dot_wi)[..., None] * normalize(wi + wo)
     wi_dot_h = jnp.sum(wi * h, -1)
     d_spec = ggx_d(jnp.sum(n * h, -1), mat.roughness)
     ps = d_spec * jnp.abs(jnp.sum(n * h, -1)) / jnp.maximum(4.0 * jnp.abs(wi_dot_h), 1e-9)
+    ps = jnp.where(same_side, ps, 0.0)
 
     # transmission: D(m)|n·m| * eta_wi^2 |wi·m| / (eta_wo(wo·m)+eta_wi(wi·m))^2
     eta_wo, eta_wi = _etas(n_dot_wo, mat.ior)
@@ -175,6 +186,7 @@ def pdf_bsdf(n, wi, wo, mat: MatParams):
     d_t = ggx_d(jnp.sum(n * m, -1), mat.roughness)
     jac_denom = jnp.maximum((eta_wo * wo_dot_m + eta_wi * wi_dot_m) ** 2, 1e-9)
     pt_refract = d_t * jnp.abs(jnp.sum(n * m, -1)) * eta_wi**2 * jnp.abs(wi_dot_m) / jac_denom
+    pt_refract = jnp.where(same_side, 0.0, pt_refract)
     # TIR paths were generated by reflection off m -> specular-shaped pdf
     pt = jnp.where(radicand < 0.0, ps, pt_refract)
 

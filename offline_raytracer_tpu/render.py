@@ -22,9 +22,9 @@ from offline_raytracer_tpu.utils import rng
 
 
 def _trace_builder(scene: Scene, cfg: RenderConfig):
-    """Pick the trace function: BVH for triangle-heavy scenes, dense sweep
-    otherwise (ops/intersect.py docstring)."""
-    if cfg.use_bvh and int(scene.triangles.mat.shape[0]) > 64:
+    """Pick the trace function: BVH when the scene carries one, dense
+    sweep otherwise (ops/intersect.py docstring)."""
+    if cfg.use_bvh and scene.tri_bvh is not None:
         from offline_raytracer_tpu.ops.traverse import make_bvh_trace_fn
         return make_bvh_trace_fn(scene, cfg)
     return make_brute_trace_fn(scene, cfg)

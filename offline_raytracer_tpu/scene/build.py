@@ -14,8 +14,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from offline_raytracer_tpu.ops.camera import make_camera
+from offline_raytracer_tpu.ops.lights import (
+    KIND_CYLINDER, KIND_MESH, KIND_SPHERE, build_area_lights)
 from offline_raytracer_tpu.scene.types import (
-    Boxes, Cylinders, Materials, Scene, SphereLights, Spheres, Triangles,
+    Boxes, Cylinders, Materials, Scene, Spheres, Triangles,
 )
 from offline_raytracer_tpu.utils.math import rotation_matrix_to_z
 
@@ -33,7 +35,7 @@ class SceneBuilder:
         self._cylinders = []   # (base, axis, r, mat)
         self._tri_v = []       # (n, 3, 3) vertex blocks
         self._tri_m = []       # per-block mat
-        self._lights = []      # (center, r, mat) — NEE-sampleable spheres
+        self._lights = []      # AreaLights entries (every emissive shape)
         self.ambient = np.zeros(3, np.float32)
         self.camera_p = np.array([0.0, 0.0, 1.0], np.float32)
         self.camera_height_ratio = 0.5
@@ -77,7 +79,9 @@ class SceneBuilder:
         mat = self.current_mat if mat is None else mat
         self._spheres.append((np.asarray(center, np.float32), float(radius), mat))
         if self._is_light(mat):
-            self._lights.append((np.asarray(center, np.float32), float(radius), mat))
+            self._lights.append(dict(
+                kind=KIND_SPHERE, mat=mat,
+                p0=np.asarray(center, np.float32), radius=float(radius)))
 
     def add_box(self, bmin, extent, mat=None):
         """Box given min corner + extents (the .scn `box` encoding,
@@ -97,9 +101,15 @@ class SceneBuilder:
             (np.asarray(base, np.float32), np.asarray(axis, np.float32),
              float(radius), mat))
         # NOTE: the reference pushes *every* cylinder with mat_index != 0
-        # into the light buffer (parser.cpp:1345-1348 bug) and then cannot
-        # sample cylinder lights (ray.cpp:574-588). We only register actual
-        # emissive spheres, so the 1/L light pick is correct.
+        # into the light buffer (parser.cpp:1345-1348 bug) and cannot sample
+        # cylinder lights at all (ray.cpp:574-588). Here only genuinely
+        # emissive cylinders register, and they ARE sampleable.
+        if self._is_light(mat):
+            self._lights.append(dict(
+                kind=KIND_CYLINDER, mat=mat,
+                p0=np.asarray(base, np.float32),
+                axis=np.asarray(axis, np.float32), radius=float(radius),
+                rot=rotation_matrix_to_z(axis)))
 
     def add_triangles(self, vertices, indices, mat=None):
         """vertices (V, 3), indices (F, 3) int — appended as one block."""
@@ -108,6 +118,8 @@ class SceneBuilder:
         f = np.asarray(indices, np.int64)
         self._tri_v.append(v[f])  # (F, 3, 3)
         self._tri_m.append(np.full((f.shape[0],), mat, np.int32))
+        if self._is_light(mat):
+            self._lights.append(dict(kind=KIND_MESH, mat=mat, tris=v[f]))
 
     # ---- camera --------------------------------------------------------
     def set_camera(self, p, height_ratio, quat_xyzw):
@@ -116,7 +128,8 @@ class SceneBuilder:
         self.camera_quat = np.asarray(quat_xyzw, np.float32)
 
     # ---- build ---------------------------------------------------------
-    def build(self, width=None, height=None) -> Scene:
+    def build(self, width=None, height=None, bvh_leaf_size: int = 128,
+              with_bvh: bool = True) -> Scene:
         W = self.width if width is None else width
         H = self.height if height is None else height
 
@@ -167,20 +180,21 @@ class SceneBuilder:
             v0=jnp.asarray(tv[:, 0]), v1=jnp.asarray(tv[:, 1]),
             v2=jnp.asarray(tv[:, 2]), mat=jnp.asarray(tm),
         )
-        lights = SphereLights(
-            center=jnp.asarray(stack(self._lights, 0, (3,))),
-            radius=jnp.asarray(stack(self._lights, 1, ())),
-            mat=jnp.asarray(np.asarray([l[2] for l in self._lights], np.int32)),
-        )
+        lights = build_area_lights(self._lights)
         mat_to_light = np.full((len(m["ior"]),), -1, np.int32)
-        for li, (_, _, mi) in enumerate(self._lights):
-            mat_to_light[mi] = li
+        for li, entry in enumerate(self._lights):
+            mat_to_light[entry["mat"]] = li
 
         camera = make_camera(self.camera_p, self.camera_height_ratio,
                              self.camera_quat, W, H)
+        tri_bvh = None
+        if with_bvh and tv.shape[0] > 0:
+            from offline_raytracer_tpu.ops.bvh import build_tri_bvh
+            tri_bvh = build_tri_bvh(tv[:, 0], tv[:, 1], tv[:, 2], tm,
+                                    leaf_size=bvh_leaf_size)
         return Scene(
             materials=materials, spheres=spheres, boxes=boxes,
             cylinders=cylinders, triangles=triangles, lights=lights,
             camera=camera, ambient=jnp.asarray(self.ambient),
-            mat_to_light=jnp.asarray(mat_to_light),
+            mat_to_light=jnp.asarray(mat_to_light), tri_bvh=tri_bvh,
         )

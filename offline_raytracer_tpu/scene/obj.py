@@ -17,6 +17,13 @@ def load_obj(path: str):
     """Returns dict with positions (V,3), normals (Vn,3) or None,
     texcoords (Vt,2) or None, and indices (F,3) int32 into positions
     (plus parallel normal_indices / texcoord_indices when present)."""
+    from offline_raytracer_tpu.native import obj_parse_native
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    native = obj_parse_native(raw)
+    if native is not None:
+        return native
+
     positions, normals, texcoords = [], [], []
     f_pos, f_nrm, f_tex = [], [], []
 

@@ -17,6 +17,12 @@ def load_ply(path: str):
     with open(path, "rb") as f:
         data = f.read()
 
+    # native fast path (native/raytracer_native.cpp), python fallback below
+    from offline_raytracer_tpu.native import ply_parse_native
+    native = ply_parse_native(data)
+    if native is not None:
+        return native
+
     end_tag = b"end_header"
     hdr_end = data.index(end_tag)
     header = data[:hdr_end].decode("ascii", "replace")

@@ -60,17 +60,9 @@ class Triangles:
     mat: jnp.ndarray  # (N,) int32
 
 
-@flax.struct.dataclass
-class SphereLights:
-    """NEE-sampleable light table (emissive spheres, parser.cpp:1144-1182).
-
-    The reference only implements sphere-light sampling (ray.cpp:554-572);
-    emissive meshes/cylinders are still found by BSDF sampling — same here.
-    """
-
-    center: jnp.ndarray  # (L, 3)
-    radius: jnp.ndarray  # (L,)
-    mat: jnp.ndarray     # (L,) int32
+# NEE light table: every emissive shape (sphere / cylinder / mesh) is
+# sampleable — see ops/lights.py AreaLights. (The reference's table only
+# ever samples spheres, ray.cpp:554-595.)
 
 
 @flax.struct.dataclass
@@ -95,15 +87,18 @@ class Scene:
     boxes: Boxes
     cylinders: Cylinders
     triangles: Triangles
-    lights: SphereLights
+    lights: object            # ops.lights.AreaLights
     camera: Camera
     ambient: jnp.ndarray       # (3,)
     mat_to_light: jnp.ndarray  # (M,) int32: sphere-light index or -1 —
     #                            lookup for the MIS pdf on BSDF light hits
+    tri_bvh: object = None     # TriBVH (ops/bvh.py) or None; built host-side
+    #                            once at scene construction. Search-only —
+    #                            gradients flow through scene.triangles.
 
     @property
     def n_lights(self) -> int:
-        return self.lights.radius.shape[0]
+        return self.lights.kind.shape[0]
 
 
 def _f32(x):
@@ -148,5 +143,6 @@ def empty_triangles() -> Triangles:
     )
 
 
-def empty_lights() -> SphereLights:
-    return SphereLights(center=jnp.zeros((0, 3)), radius=jnp.zeros((0,)), mat=jnp.zeros((0,), jnp.int32))
+def empty_lights():
+    from offline_raytracer_tpu.ops.lights import empty_area_lights
+    return empty_area_lights()

@@ -1,0 +1,72 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4d):
+shard-invariance (1 device vs 8 devices bitwise) and sharded gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from offline_raytracer_tpu.config import RenderConfig
+from offline_raytracer_tpu.parallel.shard import (
+    grad_step_sharded, make_mesh, render_block_sharded)
+from offline_raytracer_tpu.render import render_block_jit
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+CFG = RenderConfig(width=16, height=16, spp=2, max_bounces=3,
+                   enable_dof=False, use_pallas=False)
+
+
+def test_shard_invariance(analytic_scene):
+    """Same image regardless of device count — the determinism contract
+    of the counter-based RNG (utils/rng.py)."""
+    scene = analytic_scene
+    ids = jnp.arange(256, dtype=jnp.int32)
+
+    single = render_block_jit(scene, CFG, ids, 0, CFG.spp)
+    mesh8 = make_mesh(jax.devices()[:8])
+    sharded = render_block_sharded(scene, CFG, mesh8, ids, 0, CFG.spp)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=1e-5, atol=1e-6)
+
+    mesh2 = make_mesh(jax.devices()[:2])
+    sharded2 = render_block_sharded(scene, CFG, mesh2, ids, 0, CFG.spp)
+    np.testing.assert_allclose(
+        np.asarray(sharded2), np.asarray(sharded), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_grad_step(analytic_scene):
+    scene = analytic_scene
+    ids = jnp.arange(256, dtype=jnp.int32)
+    mesh = make_mesh(jax.devices()[:8])
+    target = jnp.zeros((256, 3))
+
+    def getter(sc):
+        return {"diffuse": sc.materials.diffuse}
+
+    def setter(sc, p):
+        return sc.replace(materials=sc.materials.replace(diffuse=p["diffuse"]))
+
+    loss, grads = grad_step_sharded(scene, CFG, mesh, ids, target, getter, setter)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    g = np.asarray(grads["diffuse"])
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
+
+    # gradients must match the unsharded computation
+    def loss_unsharded(diffuse):
+        sc = setter(scene, {"diffuse": diffuse})
+        img = render_block_jit(sc, CFG, ids, 0, CFG.spp)
+        return jnp.sum((img - target) ** 2) / (ids.shape[0] * 3)
+
+    g_ref = np.asarray(jax.grad(loss_unsharded)(scene.materials.diffuse))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-7)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

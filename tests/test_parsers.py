@@ -115,10 +115,17 @@ def test_load_testscene(ref_data_dir):
     assert scene.boxes.mat.shape[0] == 9
     assert scene.cylinders.radius.shape[0] == 11
     assert scene.triangles.mat.shape[0] == 2 * 69451
-    # 6 emissive materials (2 bunnies, 3 cylinders, 1 sphere); only the
-    # sphere is NEE-sampleable (ray.cpp:554-595 semantics)
-    assert scene.n_lights == 1
-    np.testing.assert_allclose(np.asarray(scene.lights.center[0]), [0, 0, 2.8])
+    # 6 emissive shapes (2 bunny meshes, 3 cylinders, 1 sphere) — ALL are
+    # NEE-sampleable here (the reference could only sample spheres,
+    # ray.cpp:554-595)
+    assert scene.n_lights == 6
+    kinds = np.asarray(scene.lights.kind)
+    from offline_raytracer_tpu.ops.lights import KIND_CYLINDER, KIND_MESH, KIND_SPHERE
+    assert (kinds == KIND_MESH).sum() == 2
+    assert (kinds == KIND_CYLINDER).sum() == 3
+    assert (kinds == KIND_SPHERE).sum() == 1
+    sph = int(np.nonzero(kinds == KIND_SPHERE)[0][0])
+    np.testing.assert_allclose(np.asarray(scene.lights.p0[sph]), [0, 0, 2.8])
     mats = np.asarray(scene.materials.is_light)
     assert mats.sum() == 6
     # bunny 1: translate (-0.5, 0.8, 0.23), scale 5 -> z range sane
