@@ -31,7 +31,7 @@ def count_rays(scene, cfg, pixel_ids):
     # instrument by re-running the bounce loop logic cheaply: count alive
     # lanes per bounce on a small sample
     sample = pixel_ids[:: max(1, pixel_ids.shape[0] // 4096)]
-    trace_fn = _trace_builder(scene, cfg)
+    trace_fn, _ = _trace_builder(scene, cfg)
     root = rng.render_key(cfg.seed)
     ps_keys = rng.pixel_sample_keys(root, sample, jnp.zeros_like(sample))
     ro, rd = generate_rays(scene.camera, cfg, sample, ps_keys)

@@ -42,7 +42,34 @@ def build_parser():
     p.add_argument("--png", default=None, help="also write a tonemapped png")
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--progress", action="store_true")
+    p.add_argument("--config", default=None,
+                   help="YAML file of RenderConfig fields (flags win)")
+    p.add_argument("--checkpoint", default=None,
+                   help="durable accumulation checkpoint (.npz); resumes if present")
+    p.add_argument("--checkpoint-every", type=int, default=16,
+                   help="spp between checkpoint writes")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler (Perfetto/TensorBoard) trace here")
+    p.add_argument("--meter", action="store_true",
+                   help="emit a rays/s render-meter JSON line (stderr)")
     return p
+
+
+def load_yaml_config(path: str) -> dict:
+    """RenderConfig field dict from a YAML file (unknown keys rejected)."""
+    import dataclasses
+
+    import yaml
+
+    from offline_raytracer_tpu.config import RenderConfig
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    fields = {f.name for f in dataclasses.fields(RenderConfig)}
+    unknown = set(raw) - fields
+    if unknown:
+        raise SystemExit(f"unknown RenderConfig keys in {path}: {sorted(unknown)}")
+    return raw
 
 
 def main(argv=None):
@@ -77,7 +104,8 @@ def main(argv=None):
           f"{int(scene.spheres.radius.shape[0])} spheres, "
           f"{scene.n_lights} NEE lights)", file=sys.stderr)
 
-    cfg = RenderConfig(
+    yaml_kw = load_yaml_config(args.config) if args.config else {}
+    cfg = RenderConfig(**yaml_kw).replace(
         width=w, height=h, spp=args.spp, seed=args.seed,
         max_bounces=args.max_bounces, russian_roulette=args.rr,
         enable_nee=not (args.no_nee or args.reference_mode),
@@ -89,13 +117,26 @@ def main(argv=None):
         ray_batch=args.ray_batch,
     )
 
+    from offline_raytracer_tpu.utils.profiling import RenderMeter, device_trace
+    meter = RenderMeter() if args.meter else None
+
     t0 = time.time()
-    if args.sharded:
-        from offline_raytracer_tpu.parallel.shard import make_mesh, render_image_sharded
-        img = render_image_sharded(scene, cfg, make_mesh())
-    else:
-        img = render_image(scene, cfg, progress=args.progress)
+    with device_trace(args.trace_dir):
+        if args.sharded:
+            from offline_raytracer_tpu.parallel.shard import (
+                make_mesh, render_image_sharded)
+            img = render_image_sharded(scene, cfg, make_mesh())
+        elif args.checkpoint:
+            from offline_raytracer_tpu.render import render_image_resumable
+            img = render_image_resumable(
+                scene, cfg, args.checkpoint,
+                checkpoint_every_spp=args.checkpoint_every,
+                progress=args.progress, meter=meter)
+        else:
+            img = render_image(scene, cfg, progress=args.progress, meter=meter)
     dt = time.time() - t0
+    if meter is not None:
+        meter.emit()
     n_paths = w * h * args.spp
     print(f"rendered {w}x{h} @ {args.spp}spp in {dt:.1f}s "
           f"({n_paths/dt/1e6:.2f} Mpaths/s)", file=sys.stderr)

@@ -45,6 +45,8 @@ class RenderConfig:
     use_bvh: bool = True
     bvh_leaf_size: int = 128  # packed-BVH leaves = lane width
     max_stack_depth: int = 64
+    sort_rays: bool = True    # coherence-sort bounce/shadow rays so 1024-ray
+    #                           packets stay spatially tight (traverse.py)
 
     # execution
     ray_batch: int = 1 << 17       # rays per device step (pixels*spp chunked)

@@ -53,13 +53,33 @@ def optimize(
     scene: Scene, cfg: RenderConfig, target, pixel_ids, params,
     setter: Callable = apply_material_params,
     steps: int = 100, lr: float = 5e-2, optimizer=None, verbose: bool = False,
+    checkpoint_dir: str | None = None, checkpoint_every: int = 25,
 ):
     """Adam descent on the image loss. Each step uses a fresh spp window
     (stratified over the sample index) so gradient noise is independent
-    across steps. Returns (params, losses)."""
+    across steps. Returns (params, losses).
+
+    With ``checkpoint_dir``, (params, optimizer state) are orbax-saved
+    every ``checkpoint_every`` steps and the run resumes from the latest
+    step on restart (utils/checkpoint.py — the elastic-recovery story the
+    single-shot reference never needed, SURVEY.md §5)."""
     loss_fn = make_loss_fn(scene, cfg, target, pixel_ids, setter)
     opt = optimizer or optax.adam(lr)
     state = opt.init(params)
+
+    start = 0
+    ckptr = None
+    if checkpoint_dir:
+        from offline_raytracer_tpu.utils import checkpoint as ckpt
+
+        ckptr = ckpt.opt_checkpointer()
+        latest = ckpt.latest_opt_step(checkpoint_dir)
+        if latest is not None:
+            params, state = ckpt.load_opt_state(
+                ckptr, checkpoint_dir, latest, params, state)
+            start = latest
+            if verbose:
+                print(f"resumed inverse rendering at step {start}")
 
     @jax.jit
     def step(params, state, k):
@@ -68,9 +88,13 @@ def optimize(
         return optax.apply_updates(params, updates), state, loss
 
     losses = []
-    for k in range(steps):
+    for k in range(start, steps):
         params, state, loss = step(params, state, k)
         losses.append(float(loss))
+        if ckptr is not None and ((k + 1) % checkpoint_every == 0 or k == steps - 1):
+            from offline_raytracer_tpu.utils import checkpoint as ckpt
+
+            ckpt.save_opt_state(ckptr, checkpoint_dir, k + 1, params, state)
         if verbose and (k % 10 == 0 or k == steps - 1):
             print(f"step {k:4d}  loss {losses[-1]:.6f}")
     return params, losses

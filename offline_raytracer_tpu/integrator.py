@@ -34,6 +34,11 @@ TraceFn = Callable[[jnp.ndarray, jnp.ndarray], Hit]
 
 sg = jax.lax.stop_gradient
 
+# where terminated lanes are parked: far outside any scene AABB (so the
+# traversal never descends for them) but small enough that squared terms in
+# the analytic intersectors stay finite in f32
+PARK_ORIGIN = 1e8
+
 
 @flax.struct.dataclass
 class PathState:
@@ -60,8 +65,17 @@ def trace_paths(
     origin: jnp.ndarray,
     direction: jnp.ndarray,
     ps_keys: jnp.ndarray,
+    collect_stats: bool = False,
+    occl_fn=None,
 ) -> jnp.ndarray:
-    """Trace R paths to completion. Returns radiance (R, 3)."""
+    """Trace R paths to completion. Returns radiance (R, 3).
+
+    With ``collect_stats=True`` returns ``(radiance, alive_per_bounce)``
+    where ``alive_per_bounce`` is (max_bounces,) float32 — the number of
+    lanes that produced a continuation segment at each bounce. This is the
+    structured replacement for the reference's per-tile ``test_shape_count``
+    printf (macos_main.mm:161); see utils/profiling.RenderMeter.
+    """
     R = origin.shape[0]
     state = PathState(
         origin=origin,
@@ -107,7 +121,10 @@ def trace_paths(
 
         # ------ surface interaction setup
         # backed-off hit point (dont_get_too_close_epsilon, ref :1262, :1411)
-        x = state.origin + (hit.t - cfg.hit_eps)[..., None] * state.direction
+        # (miss lanes get a finite dummy t so no inf enters the graph — the
+        # double-where discipline that keeps masked gradients NaN-free)
+        t_safe = jnp.where(hit.valid, hit.t, 1.0)
+        x = state.origin + (t_safe - cfg.hit_eps)[..., None] * state.direction
         x = jnp.where(alive[..., None], x, state.origin)  # keep dead lanes finite
         wo = -state.direction
         n = hit.normal
@@ -127,8 +144,16 @@ def trace_paths(
             wi_l = to_l / jnp.maximum(dist_l, 1e-9)[..., None]
             cos_l = jnp.sum(ls.normal * (-wi_l), -1)
             p_nee_solid = light_ops.solid_angle_pdf(ls.pdf_area, dist_l, cos_l)
-            sh = trace_fn(x, wi_l)
-            visible = sh.t >= dist_l * (1.0 - 1e-3)
+            # shadow query: any-hit with the light distance as the t bound;
+            # dead lanes launch with t_far=0 and cost nothing
+            worth = alive & (cos_l > 1e-6)
+            if occl_fn is not None:
+                x_sh = jnp.where(worth[..., None], x, PARK_ORIGIN)
+                tf = jnp.where(worth, dist_l * (1.0 - 1e-3), 0.0)
+                visible = ~occl_fn(x_sh, wi_l, tf)
+            else:
+                sh = trace_fn(x, wi_l)
+                visible = sh.t >= dist_l * (1.0 - 1e-3)
             f_l = bsdf_ops.eval_bsdf(n, wi_l, wo, matp, seg_len)
             if do_mis:
                 p_b = bsdf_ops.pdf_bsdf(n, wi_l, wo, matp)
@@ -175,12 +200,15 @@ def trace_paths(
         # (ref :1343-1349)
         x_next = jnp.where(
             samp.is_transmission[..., None],
-            state.origin + (hit.t + cfg.hit_eps)[..., None] * state.direction,
+            state.origin + (t_safe + cfg.hit_eps)[..., None] * state.direction,
             x,
         )
 
+        # park dead lanes far outside the scene: they never pull a BVH
+        # descent again (the masked-lane discipline of the reference's
+        # dormant NEON model, with the cost actually removed)
         new_state = PathState(
-            origin=jnp.where(alive[..., None], x_next, state.origin),
+            origin=jnp.where(alive[..., None], x_next, PARK_ORIGIN),
             direction=jnp.where(alive[..., None], wi, state.direction),
             throughput=throughput,
             radiance=radiance,
@@ -188,7 +216,10 @@ def trace_paths(
             prev_pdf=jnp.where(alive, pdf, -1.0),
             keys=state.keys,
         )
-        return new_state, None
+        return new_state, jnp.sum(alive.astype(jnp.float32))
 
-    state, _ = jax.lax.scan(bounce, state, jnp.arange(cfg.max_bounces))
+    state, alive_per_bounce = jax.lax.scan(
+        bounce, state, jnp.arange(cfg.max_bounces))
+    if collect_stats:
+        return state.radiance, alive_per_bounce
     return state.radiance

@@ -39,11 +39,17 @@ from offline_raytracer_tpu.scene.types import Scene
 INF = jnp.inf
 
 
-def bvh_hit_ts(bvh: TriBVH, ro, rd, t_min, max_stack: int = 64):
+def bvh_hit_ts(bvh: TriBVH, ro, rd, t_min, t_far=None, max_stack: int = 64,
+               any_hit: bool = False):
     """Packet traversal: closest triangle hit for a ray packet.
 
     ro, rd: (R, 3). Returns (t (R,), slot (R,) int32 into the
     leaf-ordered arrays, -1 = miss). Search-only (no gradients needed).
+
+    ``t_far``: optional (R,) per-ray t bound seed (shadow rays pass the
+    light distance; ``t_far <= t_min`` marks a lane dead on launch).
+    ``any_hit``: occlusion mode — a found hit collapses the lane's bound
+    and the walk stops once every live lane is resolved.
     """
     R = ro.shape[0]
     first_leaf = bvh.first_leaf
@@ -96,6 +102,8 @@ def bvh_hit_ts(bvh: TriBVH, ro, rd, t_min, max_stack: int = 64):
         better = tmin < best_t
         best_t = jnp.where(better, tmin, best_t)
         best_i = jnp.where(better, leaf * LEAF + lane, best_i)
+        if any_hit:
+            best_t = jnp.where(best_i >= 0, t_min, best_t)
         return stack, sp, best_t, best_i
 
     def internal_fn(carry, node):
@@ -127,15 +135,72 @@ def bvh_hit_ts(bvh: TriBVH, ro, rd, t_min, max_stack: int = 64):
             node >= first_leaf, leaf_fn, internal_fn,
             (stack, sp, best_t, best_i), node)
 
-    def cond(carry):
-        return carry[1] > 0
+    tf = jnp.full((R,), INF) if t_far is None else t_far
+
+    if any_hit:
+        def cond(carry):
+            _, sp, best_t, best_i = carry
+            undone = (best_i < 0) & (tf > t_min)
+            return (sp > 0) & jnp.any(undone)
+    else:
+        def cond(carry):
+            return carry[1] > 0
 
     init = (
         jnp.zeros((max_stack,), jnp.int32), jnp.int32(1),
-        jnp.full((R,), INF), jnp.full((R,), -1, jnp.int32),
+        tf, jnp.full((R,), -1, jnp.int32),
     )
     _, _, best_t, best_i = jax.lax.while_loop(cond, body, init)
     return best_t, best_i
+
+
+def coherence_order(bvh: TriBVH, ro, rd):
+    """Sort permutation grouping rays by direction octant then position.
+
+    Packet traversal descends a node if ANY ray in a 1024-ray block wants
+    it, so incoherent blocks degenerate to brute force over the leaves.
+    Sorting bounce/shadow rays by (direction octant, 3-bit-per-axis Morton
+    cell of the origin within the scene AABB) makes blocks spatially tight
+    again — the wavefront analog of the tile coherence the reference gets
+    for free from its per-pixel loop. Parked rays (origin outside the
+    scene AABB) clip to one corner cell and cluster together.
+    """
+    row = bvh.child_rows[0]
+    wmin = jnp.minimum(row[0:3], row[6:9])
+    wmax = jnp.maximum(row[3:6], row[9:12])
+    ext = jnp.maximum(wmax - wmin, 1e-6)
+    q = jnp.clip((ro - wmin) / ext * 8.0, 0.0, 7.0).astype(jnp.int32)  # (R,3)
+
+    def spread3(x):  # 3 bits -> every 3rd bit
+        return ((x & 1) | ((x & 2) << 2) | ((x & 4) << 4))
+
+    morton = (spread3(q[:, 0]) << 2) | (spread3(q[:, 1]) << 1) | spread3(q[:, 2])
+    octant = (
+        ((rd[:, 0] > 0).astype(jnp.int32) << 2)
+        | ((rd[:, 1] > 0).astype(jnp.int32) << 1)
+        | (rd[:, 2] > 0).astype(jnp.int32)
+    )
+    return jnp.argsort((octant << 9) | morton)
+
+
+def _pick_tri_hit(bvh: TriBVH, cfg: RenderConfig):
+    if cfg.use_pallas:
+        from offline_raytracer_tpu.ops import traverse_pallas as tp
+
+        if jax.default_backend() not in ("cpu",) and tp.fits_vmem(bvh):
+            return functools.partial(
+                tp.bvh_hit_ts_pallas, max_stack=cfg.max_stack_depth)
+    return functools.partial(bvh_hit_ts, max_stack=cfg.max_stack_depth)
+
+
+def _sorted_tri_hit(bvh, tri_hit, cfg, ro, rd, t_far=None, any_hit=False):
+    if not cfg.sort_rays:
+        return tri_hit(bvh, ro, rd, cfg.t_min, t_far, any_hit=any_hit)
+    order = coherence_order(bvh, ro, rd)
+    inv = jnp.argsort(order)
+    tf = None if t_far is None else t_far[order]
+    t, slot = tri_hit(bvh, ro[order], rd[order], cfg.t_min, tf, any_hit=any_hit)
+    return t[inv], slot[inv]
 
 
 def make_bvh_trace_fn(scene: Scene, cfg: RenderConfig):
@@ -145,14 +210,7 @@ def make_bvh_trace_fn(scene: Scene, cfg: RenderConfig):
     host-side, scene/build.py)."""
     bvh = scene.tri_bvh
     assert bvh is not None, "scene has no tri_bvh; build(with_bvh=True)"
-
-    tri_hit = bvh_hit_ts
-    if cfg.use_pallas:
-        from offline_raytracer_tpu.ops import traverse_pallas as tp
-
-        if jax.default_backend() not in ("cpu",) and tp.fits_vmem(bvh):
-            tri_hit = functools.partial(
-                tp.bvh_hit_ts_pallas, max_stack=cfg.max_stack_depth)
+    tri_hit = _pick_tri_hit(bvh, cfg)
 
     def trace(ro, rd):
         R = ro.shape[0]
@@ -176,7 +234,7 @@ def make_bvh_trace_fn(scene: Scene, cfg: RenderConfig):
         if scene.cylinders.radius.shape[0]:
             consider(I.cylinder_ts(scene.cylinders, ro, rd, cfg.t_min), I.CYLINDER)
 
-        tt, slot = tri_hit(bvh, ro, rd, cfg.t_min)
+        tt, slot = _sorted_tri_hit(bvh, tri_hit, cfg, ro, rd)
         tri_id = jnp.where(slot >= 0, bvh.tri_index[jnp.maximum(slot, 0)], -1)
         better = (tt < best_t) & (tri_id >= 0)
         best_t = jnp.where(better, tt, best_t)
@@ -187,3 +245,36 @@ def make_bvh_trace_fn(scene: Scene, cfg: RenderConfig):
             scene, ro, rd, cfg.t_min, best_type, best_idx, best_t < INF)
 
     return trace
+
+
+def make_bvh_occlusion_fn(scene: Scene, cfg: RenderConfig):
+    """occluded(ro, rd, t_far) -> (R,) bool: anything in (t_min, t_far)?
+
+    The shadow-ray fast path: triangles use the seeded any-hit traversal
+    (lanes with ``t_far <= t_min`` are dead on launch and cost nothing);
+    analytic primitives use the dense sweeps with a t_far compare.
+    """
+    bvh = scene.tri_bvh
+    assert bvh is not None, "scene has no tri_bvh; build(with_bvh=True)"
+    tri_hit = _pick_tri_hit(bvh, cfg)
+
+    def occluded(ro, rd, t_far):
+        hit = jnp.zeros(ro.shape[:1], bool)
+        if scene.spheres.radius.shape[0]:
+            ts = I.sphere_ts(scene.spheres, ro, rd, cfg.t_min)
+            hit |= jnp.any(ts < t_far[:, None], -1)
+        if scene.boxes.mat.shape[0]:
+            ts = I.box_ts(scene.boxes, ro, rd, cfg.t_min)
+            hit |= jnp.any(ts < t_far[:, None], -1)
+        if scene.cylinders.radius.shape[0]:
+            ts = I.cylinder_ts(scene.cylinders, ro, rd, cfg.t_min)
+            hit |= jnp.any(ts < t_far[:, None], -1)
+
+        # lanes already occluded by an analytic prim are dead for the
+        # (expensive) triangle pass
+        tf = jnp.where(hit, 0.0, t_far)
+        _, slot = _sorted_tri_hit(bvh, tri_hit, cfg, ro, rd, tf, any_hit=True)
+        valid_tri = (slot >= 0) & (bvh.tri_index[jnp.maximum(slot, 0)] >= 0)
+        return hit | valid_tri
+
+    return occluded

@@ -38,7 +38,7 @@ INF = 3.4e38  # plain float: jnp scalars would be captured as kernel constants
 LANE = 128
 
 DEFAULT_SUB = 8                    # 8 x 128 = 1024 rays per block
-VMEM_BUDGET = 10 * 1024 * 1024     # planes + temps headroom out of ~16 MB
+VMEM_BUDGET = 12 * 1024 * 1024     # planes + temps headroom out of ~16 MB
 SMEM_NODE_LIMIT = 8192             # max internal nodes kept in SMEM (384 KB)
 
 
@@ -47,18 +47,20 @@ def bvh_vmem_bytes(bvh: TriBVH) -> int:
 
 
 def fits_vmem(bvh: TriBVH, sub: int = DEFAULT_SUB) -> bool:
-    temps = 12 * sub * LANE * LANE * 4  # all-pairs leaf intermediates
+    # ~6 live (sub, 128, 128) f32 intermediates in the leaf sweep
+    temps = 6 * sub * LANE * LANE * 4
     if bvh.child_rows.shape[0] > SMEM_NODE_LIMIT:
         return False
     return bvh_vmem_bytes(bvh) + temps + (1 << 20) < VMEM_BUDGET
 
 
 def _kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tfar_ref,
     child_ref, planes_ref,
     t_out_ref, slot_out_ref,
     stack_ref,
     *, first_leaf: int, m_occ: int, max_stack: int, t_min: float,
+    any_hit: bool,
 ):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -67,13 +69,18 @@ def _kernel(
     inv_dz = 1.0 / dz
 
     def slab_near(node, off, best_t):
-        """Packet entry distance vs one child AABB (SMEM scalars)."""
-        bx0 = (child_ref[node, off + 0] - ox) * inv_dx
-        by0 = (child_ref[node, off + 1] - oy) * inv_dy
-        bz0 = (child_ref[node, off + 2] - oz) * inv_dz
-        bx1 = (child_ref[node, off + 3] - ox) * inv_dx
-        by1 = (child_ref[node, off + 4] - oy) * inv_dy
-        bz1 = (child_ref[node, off + 5] - oz) * inv_dz
+        """Packet entry distance vs one child AABB (SMEM scalars).
+
+        child_ref is FLAT (n_internal*12,): SMEM 2-D arrays get padded to
+        128 lanes (1 MB SMEM blows up on >1023-node trees); flat scalar
+        indexing stores exactly 12 floats per node."""
+        base = node * 12 + off
+        bx0 = (child_ref[base + 0] - ox) * inv_dx
+        by0 = (child_ref[base + 1] - oy) * inv_dy
+        bz0 = (child_ref[base + 2] - oz) * inv_dz
+        bx1 = (child_ref[base + 3] - ox) * inv_dx
+        by1 = (child_ref[base + 4] - oy) * inv_dy
+        bz1 = (child_ref[base + 5] - oz) * inv_dz
         tn = jnp.maximum(
             jnp.maximum(jnp.minimum(bx0, bx1), jnp.minimum(by0, by1)),
             jnp.minimum(bz0, bz1))
@@ -121,6 +128,10 @@ def _kernel(
         better = tmin < best_t
         best_i = jnp.where(better, leaf * LEAF + lane, best_i)
         best_t = jnp.where(better, tmin, best_t)
+        if any_hit:
+            # occlusion query: a found hit proves the answer — collapse the
+            # lane's t-bound so it never pulls another descent
+            best_t = jnp.where(best_i >= 0, t_min, best_t)
         return sp, best_t, best_i
 
     def internal_fn(carry):
@@ -161,79 +172,100 @@ def _kernel(
         return sp, best_t, best_i
 
     stack_ref[0] = 0
-    shape = ox.shape
+    tfar = tfar_ref[:]
     init = (
         jnp.int32(1),
-        jnp.full(shape, INF, jnp.float32),
-        jnp.full(shape, -1, jnp.int32),
+        tfar,                                   # seeded t bound
+        jnp.full(ox.shape, -1, jnp.int32),
     )
-    _, best_t, best_i = jax.lax.while_loop(
-        lambda c: c[0] > 0, body, init)
+    if any_hit:
+        # stop as soon as every live lane is resolved (hit found, or the
+        # lane was launched dead: tfar <= t_min)
+        def cond(c):
+            _, best_t, best_i = c
+            undone = (best_i < 0) & (tfar > t_min)
+            return (c[0] > 0) & jnp.any(undone)
+    else:
+        def cond(c):
+            return c[0] > 0
+    _, best_t, best_i = jax.lax.while_loop(cond, body, init)
     t_out_ref[:] = best_t
     slot_out_ref[:] = best_i
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("first_leaf", "m_occ", "t_min", "max_stack", "sub", "interpret"))
+    static_argnames=("first_leaf", "m_occ", "t_min", "max_stack", "sub",
+                     "any_hit", "interpret"))
 def _traverse_pallas(
-    planes6, child_smem, coeff_planes,
-    *, first_leaf, m_occ, t_min, max_stack, sub, interpret=False,
+    planes7, child_smem, coeff_planes,
+    *, first_leaf, m_occ, t_min, max_stack, sub, any_hit=False,
+    interpret=False,
 ):
-    grid = (planes6[0].shape[0] // sub,)
+    grid = (planes7[0].shape[0] // sub,)
 
     ray_spec = pl.BlockSpec((sub, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     child_spec = pl.BlockSpec(
-        child_smem.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+        child_smem.shape, lambda i: (0,), memory_space=pltpu.SMEM)
     coeff_spec = pl.BlockSpec(
         coeff_planes.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _kernel, first_leaf=first_leaf, m_occ=m_occ,
-        max_stack=max_stack, t_min=t_min)
+        max_stack=max_stack, t_min=t_min, any_hit=any_hit)
 
     t, slot = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[ray_spec] * 6 + [child_spec, coeff_spec],
+        in_specs=[ray_spec] * 7 + [child_spec, coeff_spec],
         out_specs=[ray_spec, ray_spec],
         out_shape=[
-            jax.ShapeDtypeStruct(planes6[0].shape, jnp.float32),
-            jax.ShapeDtypeStruct(planes6[0].shape, jnp.int32),
+            jax.ShapeDtypeStruct(planes7[0].shape, jnp.float32),
+            jax.ShapeDtypeStruct(planes7[0].shape, jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((max_stack,), jnp.int32)],
         interpret=interpret,
-    )(*planes6, child_smem, coeff_planes)
+    )(*planes7, child_smem, coeff_planes)
     return t, slot
 
 
-def bvh_hit_ts_pallas(bvh: TriBVH, ro, rd, t_min,
+def bvh_hit_ts_pallas(bvh: TriBVH, ro, rd, t_min, t_far=None,
                       max_stack: int = 64, sub: int = DEFAULT_SUB,
-                      interpret: bool = False):
+                      any_hit: bool = False, interpret: bool = False):
     """Pallas packet traversal. ro, rd: (R, 3) -> (t (R,), slot (R,)).
 
     Pads the ray set to a whole number of (sub*128)-ray blocks.
+
+    ``t_far``: optional (R,) seed for the per-ray t bound — hits beyond it
+    are ignored and nodes beyond it are never descended (shadow rays pass
+    the light distance; ``t_far <= t_min`` marks a lane dead on launch).
+    ``any_hit``: occlusion mode — any qualifying hit resolves the lane and
+    the block exits as soon as every live lane is resolved.
     """
     R = ro.shape[0]
     block = sub * LANE
     n_blocks = -(-R // block)
     pad = n_blocks * block - R
-    # pad rays point +x from far outside the scene: guaranteed miss
-    far = jnp.full((pad, 3), 1e30, ro.dtype)
+    if t_far is None:
+        t_far = jnp.full((R,), INF, ro.dtype)
+    # pad rays point +x from far outside the scene with a dead t bound
+    far = jnp.full((pad, 3), 1e8, ro.dtype)
     dirx = jnp.tile(jnp.array([[1.0, 0.0, 0.0]], ro.dtype), (pad, 1))
     ro_p = jnp.concatenate([ro, far]) if pad else ro
     rd_p = jnp.concatenate([rd, dirx]) if pad else rd
+    tf_p = jnp.concatenate([t_far, jnp.zeros((pad,), ro.dtype)]) if pad else t_far
 
-    planes6 = tuple(
+    planes7 = tuple(
         p.reshape(n_blocks * sub, LANE)
         for p in (ro_p[:, 0], ro_p[:, 1], ro_p[:, 2],
-                  rd_p[:, 0], rd_p[:, 1], rd_p[:, 2]))
-    child_smem = bvh.child_rows[:, :12]
+                  rd_p[:, 0], rd_p[:, 1], rd_p[:, 2], tf_p))
+    child_smem = bvh.child_rows[:, :12].reshape(-1)
 
     t, slot = _traverse_pallas(
-        planes6, child_smem, bvh.planes,
+        planes7, child_smem, bvh.planes,
         first_leaf=bvh.first_leaf, m_occ=bvh.m_occ,
-        t_min=float(t_min), max_stack=max_stack, sub=sub, interpret=interpret)
+        t_min=float(t_min), max_stack=max_stack, sub=sub,
+        any_hit=any_hit, interpret=interpret)
     t = t.reshape(-1)[:R]
     slot = slot.reshape(-1)[:R]
     return jnp.where(slot >= 0, t, jnp.inf), slot

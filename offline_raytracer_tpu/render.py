@@ -22,12 +22,13 @@ from offline_raytracer_tpu.utils import rng
 
 
 def _trace_builder(scene: Scene, cfg: RenderConfig):
-    """Pick the trace function: BVH when the scene carries one, dense
-    sweep otherwise (ops/intersect.py docstring)."""
+    """(closest_hit_fn, occluded_fn_or_None): BVH when the scene carries
+    one, dense sweep otherwise (ops/intersect.py docstring)."""
     if cfg.use_bvh and scene.tri_bvh is not None:
-        from offline_raytracer_tpu.ops.traverse import make_bvh_trace_fn
-        return make_bvh_trace_fn(scene, cfg)
-    return make_brute_trace_fn(scene, cfg)
+        from offline_raytracer_tpu.ops.traverse import (
+            make_bvh_occlusion_fn, make_bvh_trace_fn)
+        return make_bvh_trace_fn(scene, cfg), make_bvh_occlusion_fn(scene, cfg)
+    return make_brute_trace_fn(scene, cfg), None
 
 
 def render_block(scene: Scene, cfg: RenderConfig, pixel_ids, sample_lo: int, n_samples: int):
@@ -37,14 +38,15 @@ def render_block(scene: Scene, cfg: RenderConfig, pixel_ids, sample_lo: int, n_s
     are chunked through a lax.scan so peak memory stays at one ray batch.
     """
     P = pixel_ids.shape[0]
-    trace_fn = _trace_builder(scene, cfg)
+    trace_fn, occl_fn = _trace_builder(scene, cfg)
     root = rng.render_key(cfg.seed)
 
     def one_sample(accum, sample_idx):
         ps_keys = rng.pixel_sample_keys(
             root, pixel_ids, jnp.full((P,), sample_idx, jnp.int32))
         ro, rd = generate_rays(scene.camera, cfg, pixel_ids, ps_keys)
-        radiance = trace_paths(scene, cfg, trace_fn, ro, rd, ps_keys)
+        radiance = trace_paths(scene, cfg, trace_fn, ro, rd, ps_keys,
+                               occl_fn=occl_fn)
         return accum + radiance, None
 
     accum, _ = jax.lax.scan(
@@ -57,11 +59,16 @@ def render_block_jit(scene, cfg, pixel_ids, sample_lo, n_samples):
     return render_block(scene, cfg, pixel_ids, sample_lo, n_samples)
 
 
-def render_image(scene: Scene, cfg: RenderConfig, progress: bool = False) -> np.ndarray:
+def render_image(scene: Scene, cfg: RenderConfig, progress: bool = False,
+                 meter=None) -> np.ndarray:
     """Full render -> (H, W, 3) float32, row 0 = top (image convention).
 
     Host loop over pixel blocks; sample accumulation happens on device.
+    ``meter``: optional utils.profiling.RenderMeter fed with per-launch
+    alive statistics for rays/s accounting.
     """
+    import time as _time
+
     n_pixels = cfg.width * cfg.height
     block = min(n_pixels, max(1, cfg.ray_batch))
     img = np.zeros((n_pixels, 3), np.float32)
@@ -73,8 +80,18 @@ def render_image(scene: Scene, cfg: RenderConfig, progress: bool = False) -> np.
         done = 0
         while done < cfg.spp:
             k = min(spp_chunk, cfg.spp - done)
-            out = render_block_jit(scene, cfg, jnp.asarray(ids), done, k)
-            acc += np.asarray(out) * k
+            if meter is not None:
+                t0 = _time.time()
+                out, alive = render_block_stats_jit(
+                    scene, cfg, jnp.asarray(ids), done, k)
+                out_h = np.asarray(out)
+                meter.add_launch(ids.size * k, np.asarray(alive),
+                                 cfg.enable_nee and scene.n_lights > 0,
+                                 _time.time() - t0)
+            else:
+                out = render_block_jit(scene, cfg, jnp.asarray(ids), done, k)
+                out_h = np.asarray(out)
+            acc += out_h * k
             done += k
             if progress:
                 print(f"pixels [{start}:{start + ids.size}) spp {done}/{cfg.spp}", flush=True)
@@ -82,6 +99,94 @@ def render_image(scene: Scene, cfg: RenderConfig, progress: bool = False) -> np.
 
     # pixel row 0 is the bottom scanline (ray.cpp:1216); flip to image order
     return img.reshape(cfg.height, cfg.width, 3)[::-1]
+
+
+def render_image_resumable(
+    scene: Scene,
+    cfg: RenderConfig,
+    checkpoint_path: str,
+    checkpoint_every_spp: int = 16,
+    progress: bool = False,
+    meter=None,
+) -> np.ndarray:
+    """Full render with durable spp-chunked accumulation (utils/checkpoint).
+
+    Sample accumulation runs in spp-major order (all pixels advance
+    together) and the running sum is checkpointed after every
+    ``checkpoint_every_spp`` samples; a restart resumes at the recorded
+    sample index and — because sample keys are counter-based — produces
+    bitwise the uninterrupted image. Returns (H, W, 3), row 0 = top.
+
+    ``meter``: optional utils.profiling.RenderMeter fed with per-launch
+    alive statistics for rays/s accounting.
+    """
+    import time as _time
+
+    from offline_raytracer_tpu.utils import checkpoint as ckpt
+
+    n_pixels = cfg.width * cfg.height
+    block = min(n_pixels, max(1, cfg.ray_batch))
+
+    state = ckpt.load_accum(checkpoint_path, cfg)
+    if state is not None:
+        accum, spp_done = state
+        if progress:
+            print(f"resumed {checkpoint_path} at spp {spp_done}", flush=True)
+    else:
+        accum = np.zeros((n_pixels, 3), np.float32)
+        spp_done = 0
+
+    while spp_done < cfg.spp:
+        k = min(checkpoint_every_spp, cfg.spp - spp_done)
+        for start in range(0, n_pixels, block):
+            ids = np.arange(start, min(start + block, n_pixels), dtype=np.int32)
+            t0 = _time.time()
+            if meter is not None:
+                out, alive = render_block_stats_jit(
+                    scene, cfg, jnp.asarray(ids), spp_done, k)
+                out.block_until_ready()
+                meter.add_launch(
+                    ids.size * k, np.asarray(alive),
+                    cfg.enable_nee and scene.n_lights > 0,
+                    _time.time() - t0)
+            else:
+                out = render_block_jit(scene, cfg, jnp.asarray(ids), spp_done, k)
+            accum[ids] += np.asarray(out) * k
+        spp_done += k
+        ckpt.save_accum(checkpoint_path, accum, spp_done, cfg)
+        if progress:
+            print(f"spp {spp_done}/{cfg.spp} checkpointed", flush=True)
+
+    img = accum / cfg.spp
+    return img.reshape(cfg.height, cfg.width, 3)[::-1]
+
+
+def render_block_stats(scene, cfg, pixel_ids, sample_lo: int, n_samples: int):
+    """render_block + per-bounce alive counts (summed over samples)."""
+    P = pixel_ids.shape[0]
+    trace_fn, occl_fn = _trace_builder(scene, cfg)
+    root = rng.render_key(cfg.seed)
+
+    def one_sample(carry, sample_idx):
+        accum, alive_acc = carry
+        ps_keys = rng.pixel_sample_keys(
+            root, pixel_ids, jnp.full((P,), sample_idx, jnp.int32))
+        ro, rd = generate_rays(scene.camera, cfg, pixel_ids, ps_keys)
+        radiance, alive = trace_paths(
+            scene, cfg, trace_fn, ro, rd, ps_keys, collect_stats=True,
+            occl_fn=occl_fn)
+        return (accum + radiance, alive_acc + alive), None
+
+    (accum, alive_acc), _ = jax.lax.scan(
+        one_sample,
+        (jnp.zeros((P, 3)), jnp.zeros((cfg.max_bounces,))),
+        sample_lo + jnp.arange(n_samples))
+    return accum / n_samples, alive_acc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sample_lo", "n_samples"))
+def render_block_stats_jit(scene, cfg, pixel_ids, sample_lo, n_samples):
+    return render_block_stats(scene, cfg, pixel_ids, sample_lo, n_samples)
 
 
 def render_image_jnp(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:

@@ -9,6 +9,8 @@ import os
 
 # Force CPU: the session env pins JAX_PLATFORMS=axon (TPU tunnel), which is
 # wrong for unit tests — they need the 8-device virtual mesh + determinism.
+# The axon PJRT plugin overrides the JAX_PLATFORMS env var, so the config
+# API (which wins over the plugin) is used as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -18,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -144,3 +144,72 @@ def test_pallas_interpret_matches_jnp():
     np.testing.assert_allclose(t_pal[hit_pal], t_ref[hit_ref], rtol=1e-4)
     np.testing.assert_array_equal(
         np.asarray(s_ref)[hit_ref], np.asarray(s_pal)[hit_pal])
+
+
+def test_any_hit_occlusion_matches_closest():
+    """Seeded any-hit traversal agrees with closest-hit occlusion, and
+    dead lanes (t_far <= t_min) never report a hit."""
+    v0, v1, v2 = _random_tris(300, seed=4)
+    bvh = build_tri_bvh(v0, v1, v2, np.zeros(300, np.int32))
+    rs = np.random.RandomState(5)
+    R = 256
+    ro = rs.uniform(-6, 6, (R, 3)).astype(np.float32)
+    rd = rs.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    t_far = rs.uniform(0.5, 12.0, (R,)).astype(np.float32)
+    t_far[::7] = 0.0  # parked lanes
+    ro, rd, t_far = jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(t_far)
+
+    t_ref, s_ref = jax.jit(lambda a, b: bvh_hit_ts(bvh, a, b, 1e-6))(ro, rd)
+    occ_ref = np.isfinite(np.asarray(t_ref)) & (np.asarray(t_ref) < np.asarray(t_far))
+
+    _, s_any = jax.jit(
+        lambda a, b, tf: bvh_hit_ts(bvh, a, b, 1e-6, tf, any_hit=True)
+    )(ro, rd, t_far)
+    occ_any = np.asarray(s_any) >= 0
+
+    np.testing.assert_array_equal(occ_any, occ_ref)
+    assert not occ_any[::7].any()
+
+
+def test_pallas_any_hit_interpret():
+    from offline_raytracer_tpu.ops.traverse_pallas import bvh_hit_ts_pallas
+
+    v0, v1, v2 = _random_tris(200, seed=11)
+    bvh = build_tri_bvh(v0, v1, v2, np.zeros(200, np.int32))
+    rs = np.random.RandomState(6)
+    R = 200
+    ro = rs.uniform(-6, 6, (R, 3)).astype(np.float32)
+    rd = rs.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    t_far = rs.uniform(0.5, 12.0, (R,)).astype(np.float32)
+    ro, rd, t_far = jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(t_far)
+
+    t_ref, _ = jax.jit(lambda a, b: bvh_hit_ts(bvh, a, b, 1e-6))(ro, rd)
+    occ_ref = np.isfinite(np.asarray(t_ref)) & (np.asarray(t_ref) < np.asarray(t_far))
+    _, s_pal = bvh_hit_ts_pallas(bvh, ro, rd, 1e-6, t_far,
+                                 any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_pal) >= 0, occ_ref)
+
+
+def test_sorted_trace_matches_unsorted(ref_data_dir):
+    """Coherence sorting is a pure permutation: identical hits."""
+    from offline_raytracer_tpu.config import RenderConfig
+    from offline_raytracer_tpu.models.scenes import bunny
+    from offline_raytracer_tpu.ops.traverse import make_bvh_trace_fn
+
+    scene = bunny(32, 32)
+    rs = np.random.RandomState(7)
+    R = 512
+    ro = rs.uniform(-2, 2, (R, 3)).astype(np.float32)
+    rd = rs.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+
+    base = dict(width=32, height=32, use_pallas=False)
+    h_sorted = jax.jit(make_bvh_trace_fn(scene, RenderConfig(**base, sort_rays=True)))(ro, rd)
+    h_plain = jax.jit(make_bvh_trace_fn(scene, RenderConfig(**base, sort_rays=False)))(ro, rd)
+    np.testing.assert_array_equal(np.asarray(h_sorted.valid), np.asarray(h_plain.valid))
+    np.testing.assert_allclose(np.asarray(h_sorted.t)[np.asarray(h_sorted.valid)],
+                               np.asarray(h_plain.t)[np.asarray(h_plain.valid)],
+                               rtol=1e-5)
