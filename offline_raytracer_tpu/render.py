@@ -54,8 +54,10 @@ def render_block(scene: Scene, cfg: RenderConfig, pixel_ids, sample_lo: int, n_s
     return accum / n_samples
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sample_lo", "n_samples"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
 def render_block_jit(scene, cfg, pixel_ids, sample_lo, n_samples):
+    # sample_lo is TRACED (it only offsets the sample-index iota): a render
+    # sweeps many sample windows and must not recompile per window
     return render_block(scene, cfg, pixel_ids, sample_lo, n_samples)
 
 
@@ -184,7 +186,7 @@ def render_block_stats(scene, cfg, pixel_ids, sample_lo: int, n_samples: int):
     return accum / n_samples, alive_acc
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sample_lo", "n_samples"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
 def render_block_stats_jit(scene, cfg, pixel_ids, sample_lo, n_samples):
     return render_block_stats(scene, cfg, pixel_ids, sample_lo, n_samples)
 
