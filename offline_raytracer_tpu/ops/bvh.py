@@ -48,6 +48,10 @@ class TriBVH:
     planes: jnp.ndarray      # (12, M_pad, 128) triangle coefficient planes
     tri_index: jnp.ndarray   # (M_pad*128,) int32 original tri id, -1 = pad
     mat: jnp.ndarray         # (M_pad*128,) int32 material per slot
+    leaf_bounds: jnp.ndarray = None  # (6, L_lane) leaf AABBs as component
+    #                          rows (minx,miny,minz,maxx,maxy,maxz), lane-
+    #                          padded to 128; pads are inverted boxes. Feeds
+    #                          the dense leaf cull (ops/traverse_cull.py).
     n_leaves: int = flax.struct.field(pytree_node=False, default=1)   # P, pow2
     m_occ: int = flax.struct.field(pytree_node=False, default=1)      # occupied
 
@@ -96,6 +100,29 @@ def triangle_coefficients(v0, v1, v2):
     return out.astype(np.float32)
 
 
+def leaf_bounds_rows(tri_index, m_occ: int, v0, v1, v2) -> np.ndarray:
+    """(6, L_lane) leaf AABB component rows from leaf-ordered slot ids.
+
+    Rows are (minx, miny, minz, maxx, maxy, maxz) over the real triangles
+    of each 128-slot leaf; the leaf axis is lane-padded to a multiple of
+    128 with inverted boxes (min=+inf, max=-inf) that no cull can accept.
+    """
+    slots = np.asarray(tri_index[: m_occ * LEAF]).reshape(m_occ, LEAF)
+    valid = (slots >= 0)[..., None]
+    idx = np.maximum(slots, 0)
+    tmin = np.minimum(np.minimum(v0[idx], v1[idx]), v2[idx])
+    tmax = np.maximum(np.maximum(v0[idx], v1[idx]), v2[idx])
+    lmin = np.where(valid, tmin, np.float32(np.inf)).min(1)    # (L, 3)
+    lmax = np.where(valid, tmax, np.float32(-np.inf)).max(1)
+    l_lane = -(-m_occ // LEAF) * LEAF
+    out = np.empty((6, l_lane), np.float32)
+    out[0:3] = np.float32(np.inf)
+    out[3:6] = np.float32(-np.inf)
+    out[0:3, :m_occ] = lmin.T
+    out[3:6, :m_occ] = lmax.T
+    return out
+
+
 def build_tri_bvh(v0, v1, v2, mat, leaf_size: int = LEAF) -> TriBVH:
     """Build the packed LBVH. Inputs are (N,3)/(N,) numpy or jax arrays.
 
@@ -118,6 +145,8 @@ def build_tri_bvh(v0, v1, v2, mat, leaf_size: int = LEAF) -> TriBVH:
         return TriBVH(
             child_rows=jnp.asarray(child_rows), planes=jnp.asarray(planes),
             tri_index=jnp.asarray(tri_index), mat=jnp.asarray(mat_out),
+            leaf_bounds=jnp.asarray(
+                leaf_bounds_rows(tri_index, int(m_occ), v0, v1, v2)),
             n_leaves=int(p), m_occ=int(m_occ))
 
     centroids = (v0 + v1 + v2) / 3.0
@@ -181,12 +210,15 @@ def build_tri_bvh(v0, v1, v2, mat, leaf_size: int = LEAF) -> TriBVH:
         child_rows[0, 6:9] = np.inf
         child_rows[0, 9:12] = -np.inf
 
+    tri_index_full = np.concatenate(
+        [ptri, np.full((m_pad - m_occ) * LEAF, -1, np.int32)])
     return TriBVH(
         child_rows=jnp.asarray(child_rows),
         planes=jnp.asarray(planes),
-        tri_index=jnp.asarray(np.concatenate(
-            [ptri, np.full((m_pad - m_occ) * LEAF, -1, np.int32)])),
+        tri_index=jnp.asarray(tri_index_full),
         mat=jnp.asarray(np.concatenate(
             [pmat, np.zeros((m_pad - m_occ) * LEAF, np.int32)])),
+        leaf_bounds=jnp.asarray(
+            leaf_bounds_rows(tri_index_full, m_occ, v0, v1, v2)),
         n_leaves=int(p), m_occ=int(m_occ),
     )

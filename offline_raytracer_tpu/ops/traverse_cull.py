@@ -1,0 +1,224 @@
+"""Cull-and-sweep traversal: dense leaf culling + listed-leaf Pallas sweep.
+
+Measured on the bunny scene, real wavefronts are *leaf-sparse*: a
+1024-ray block touches ~8 of 543 BVH leaves (camera and bounce rays
+alike). The packet tree walk (traverse_pallas.py) pays ~100 sequential
+internal-node iterations per block to discover those 8 leaves — scalar
+control flow the TPU hates. This module deletes the tree walk from the
+device hot path entirely:
+
+1. **Dense cull (jnp, fused).** Slab-test every ray against every leaf
+   AABB as (R, L) component-wise vector ops — pure VPU work with zero
+   control flow, consumed directly by a per-block any-reduce so XLA never
+   materializes the (R, L) matrix. For bunny-sized trees (543 leaves)
+   this costs less than a handful of tree-walk iterations.
+2. **Per-block leaf lists (jnp).** `argsort` over the (n_blocks, L)
+   wanted flags yields each block's wanted leaf ids, wanted-first in
+   leaf-id (Morton) order, plus a count — tiny arrays.
+3. **Listed-leaf sweep (Pallas).** Grid over ray blocks; each block's
+   leaf list rides in SMEM (BlockSpec-sliced), and the kernel runs the
+   affine-barycentric 128-triangle sweep only for listed leaves: a
+   `while i < count` over ~8 iterations of dense (SUB·128 rays × 128
+   tris) VPU FMAs. No stack, no node decode, no cond ladder.
+
+The reference's answer to this problem is the per-ray pointer queue
+(raycast_bvh, ray.cpp:624-822); the packet kernel is the tree-faithful
+port; this is the TPU-native one. Falls back to the packet kernel for
+trees whose leaf count makes the O(R·L) cull uneconomical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from offline_raytracer_tpu.ops.bvh import LEAF, TriBVH
+
+INF = 3.4e38
+LANE = 128
+DEFAULT_SUB = 8
+
+# beyond this many leaves the dense (R, L) cull outgrows the tree walk
+MAX_CULL_LEAVES = 4096
+
+
+def cull_ok(bvh: TriBVH) -> bool:
+    return (
+        bvh.leaf_bounds is not None
+        and bvh.leaf_bounds.shape[1] <= MAX_CULL_LEAVES
+    )
+
+
+def block_leaf_lists(bvh: TriBVH, ro, rd, t_bound, block: int):
+    """Dense cull -> per-block wanted-leaf lists.
+
+    ro, rd: (R, 3) with R a multiple of ``block``. ``t_bound``: (R,)
+    per-ray far bound (inf for closest-hit; shadow rays pass the light
+    distance, <= 0 marks a dead lane).
+
+    Returns (lists (n_blocks, L_lane) int32, counts (n_blocks, 1) int32):
+    lists[b, :counts[b]] are the leaf ids any ray of block b may hit, in
+    leaf-id (Morton) order.
+    """
+    lb = bvh.leaf_bounds
+    L = lb.shape[1]
+    R = ro.shape[0]
+    nb = R // block
+    inv = 1.0 / rd
+
+    def axis_ts(k):
+        t0 = (lb[k][None, :] - ro[:, k:k + 1]) * inv[:, k:k + 1]
+        t1 = (lb[k + 3][None, :] - ro[:, k:k + 1]) * inv[:, k:k + 1]
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    n0, f0 = axis_ts(0)
+    n1, f1 = axis_ts(1)
+    n2, f2 = axis_ts(2)
+    tn = jnp.maximum(jnp.maximum(n0, n1), n2)
+    tf = jnp.minimum(jnp.minimum(f0, f1), f2)
+    near = jnp.maximum(tn, 0.0)
+    wants = (tf >= near) & (near < t_bound[:, None])        # (R, L)
+    wants &= jnp.arange(L, dtype=jnp.int32)[None, :] < bvh.m_occ
+    flags = wants.reshape(nb, block, L).any(1)              # (nb, L)
+
+    iota = jnp.arange(L, dtype=jnp.int32)
+    key = jnp.where(flags, iota[None, :], L + iota[None, :])
+    lists = jnp.argsort(key, axis=1).astype(jnp.int32)      # wanted first
+    counts = flags.sum(1, dtype=jnp.int32)[:, None]
+    return lists, counts
+
+
+def _kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tfar_ref,
+    list_ref, count_ref, planes_ref,
+    t_out_ref, slot_out_ref,
+    *, m_occ: int, t_min: float, any_hit: bool,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tfar = tfar_ref[:]
+    count = count_ref[0, 0, 0]
+
+    def body(carry):
+        i, best_t, best_i = carry
+        leaf = list_ref[0, 0, i]
+        row = lambda k: planes_ref[k, leaf, :]              # (128,) per plane
+        s1x, s1y, s1z, c1 = row(0), row(1), row(2), row(3)
+        s2x, s2y, s2z, c2 = row(4), row(5), row(6), row(7)
+        nx, ny, nz, cw = row(8), row(9), row(10), row(11)
+
+        def pairs(rx, ry, rz, tx, ty, tz, cc=None):
+            out = (rx[:, :, None] * tx[None, None, :]
+                   + ry[:, :, None] * ty[None, None, :]
+                   + rz[:, :, None] * tz[None, None, :])
+            if cc is not None:
+                out = out + cc[None, None, :]
+            return out
+
+        o_w = pairs(ox, oy, oz, nx, ny, nz, cw)
+        d_w = pairs(dx, dy, dz, nx, ny, nz)
+        ok_w = jnp.abs(d_w) > 1e-12
+        t = -o_w / jnp.where(ok_w, d_w, 1.0)
+        u = pairs(ox, oy, oz, s1x, s1y, s1z, c1) + t * pairs(dx, dy, dz, s1x, s1y, s1z)
+        v = pairs(ox, oy, oz, s2x, s2y, s2z, c2) + t * pairs(dx, dy, dz, s2x, s2y, s2z)
+        ok = (
+            ok_w & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= t_min) & (t < best_t[:, :, None])
+        )
+        t = jnp.where(ok, t, INF)
+        tmin = t.min(-1)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2)
+        lane = jnp.min(jnp.where(t <= tmin[:, :, None], lane_iota, 1 << 30), -1)
+        better = tmin < best_t
+        best_i = jnp.where(better, leaf * LEAF + lane, best_i)
+        best_t = jnp.where(better, tmin, best_t)
+        if any_hit:
+            best_t = jnp.where(best_i >= 0, t_min, best_t)
+        return i + 1, best_t, best_i
+
+    init = (jnp.int32(0), tfar, jnp.full(ox.shape, -1, jnp.int32))
+    if any_hit:
+        def cond(c):
+            i, best_t, best_i = c
+            return (i < count) & jnp.any((best_i < 0) & (tfar > t_min))
+    else:
+        def cond(c):
+            return c[0] < count
+    _, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    t_out_ref[:] = best_t
+    slot_out_ref[:] = best_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m_occ", "t_min", "sub", "any_hit", "interpret"))
+def _sweep_pallas(
+    planes7, lists, counts, coeff_planes,
+    *, m_occ, t_min, sub, any_hit=False, interpret=False,
+):
+    nb = planes7[0].shape[0] // sub
+    L = lists.shape[-1]
+    lists = lists.reshape(nb, 1, L)
+    counts = counts.reshape(nb, 1, 1)
+
+    ray_spec = pl.BlockSpec((sub, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    list_spec = pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    count_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    coeff_spec = pl.BlockSpec(
+        coeff_planes.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel, m_occ=m_occ, t_min=t_min, any_hit=any_hit)
+
+    t, slot = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[ray_spec] * 7 + [list_spec, count_spec, coeff_spec],
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(planes7[0].shape, jnp.float32),
+            jax.ShapeDtypeStruct(planes7[0].shape, jnp.int32),
+        ],
+        interpret=interpret,
+    )(*planes7, lists, counts, coeff_planes)
+    return t, slot
+
+
+def bvh_hit_ts_cull(bvh: TriBVH, ro, rd, t_min, t_far=None,
+                    sub: int = DEFAULT_SUB, any_hit: bool = False,
+                    interpret: bool = False):
+    """Cull-and-sweep closest/any hit. ro, rd: (R, 3) -> (t (R,), slot (R,)).
+
+    Same contract as traverse_pallas.bvh_hit_ts_pallas: slot indexes the
+    leaf-ordered arrays (bvh.tri_index / bvh.mat), -1 = miss; in any_hit
+    mode a lane resolves on the first qualifying hit.
+    """
+    R = ro.shape[0]
+    block = sub * LANE
+    n_blocks = -(-R // block)
+    pad = n_blocks * block - R
+    if t_far is None:
+        t_far = jnp.full((R,), INF, ro.dtype)
+    far = jnp.full((pad, 3), 1e8, ro.dtype)
+    dirx = jnp.tile(jnp.array([[1.0, 0.0, 0.0]], ro.dtype), (pad, 1))
+    ro_p = jnp.concatenate([ro, far]) if pad else ro
+    rd_p = jnp.concatenate([rd, dirx]) if pad else rd
+    tf_p = jnp.concatenate([t_far, jnp.zeros((pad,), ro.dtype)]) if pad else t_far
+
+    lists, counts = block_leaf_lists(bvh, ro_p, rd_p, tf_p, block)
+
+    planes7 = tuple(
+        p.reshape(n_blocks * sub, LANE)
+        for p in (ro_p[:, 0], ro_p[:, 1], ro_p[:, 2],
+                  rd_p[:, 0], rd_p[:, 1], rd_p[:, 2], tf_p))
+    t, slot = _sweep_pallas(
+        planes7, lists, counts, bvh.planes,
+        m_occ=bvh.m_occ, t_min=float(t_min), sub=sub,
+        any_hit=any_hit, interpret=interpret)
+    t = t.reshape(-1)[:R]
+    slot = slot.reshape(-1)[:R]
+    return jnp.where(slot >= 0, t, jnp.inf), slot

@@ -76,9 +76,14 @@ def render_image(scene: Scene, cfg: RenderConfig, progress: bool = False,
     img = np.zeros((n_pixels, 3), np.float32)
     spp_chunk = max(1, min(cfg.spp, cfg.ray_batch // block))
 
+    # Launches are enqueued without host syncs (device handles collected,
+    # converted once at the end): on high-latency dispatch paths a per-
+    # launch np.asarray would serialize the whole render on the host
+    # round-trip instead of the device compute.
+    pending = []  # (ids, device_accum)
     for start in range(0, n_pixels, block):
         ids = np.arange(start, min(start + block, n_pixels), dtype=np.int32)
-        acc = np.zeros((ids.size, 3), np.float32)
+        acc = None
         done = 0
         while done < cfg.spp:
             k = min(spp_chunk, cfg.spp - done)
@@ -86,18 +91,19 @@ def render_image(scene: Scene, cfg: RenderConfig, progress: bool = False,
                 t0 = _time.time()
                 out, alive = render_block_stats_jit(
                     scene, cfg, jnp.asarray(ids), done, k)
-                out_h = np.asarray(out)
+                out.block_until_ready()
                 meter.add_launch(ids.size * k, np.asarray(alive),
                                  cfg.enable_nee and scene.n_lights > 0,
                                  _time.time() - t0)
             else:
                 out = render_block_jit(scene, cfg, jnp.asarray(ids), done, k)
-                out_h = np.asarray(out)
-            acc += out_h * k
+            acc = out * k if acc is None else acc + out * k
             done += k
             if progress:
                 print(f"pixels [{start}:{start + ids.size}) spp {done}/{cfg.spp}", flush=True)
-        img[ids] = acc / cfg.spp
+        pending.append((ids, acc))
+    for ids, acc in pending:
+        img[ids] = np.asarray(acc) / cfg.spp
 
     # pixel row 0 is the bottom scanline (ray.cpp:1216); flip to image order
     return img.reshape(cfg.height, cfg.width, 3)[::-1]
