@@ -52,6 +52,10 @@ class RenderConfig:
     ray_batch: int = 1 << 17       # rays per device step (pixels*spp chunked)
     use_pallas: bool = True        # pallas megakernel on TPU (auto-
     #                                fallback: CPU backend or BVH > VMEM)
+    traversal: str = "auto"        # "auto" | "cull" | "packet" | "jnp":
+    #                                auto = cull-and-sweep when the tree
+    #                                qualifies (traverse_cull.py), else the
+    #                                packet tree walk (traverse_pallas.py)
     accum_dtype: str = "float32"
 
     def replace(self, **kw) -> "RenderConfig":

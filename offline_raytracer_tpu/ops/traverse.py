@@ -184,10 +184,26 @@ def coherence_order(bvh: TriBVH, ro, rd):
 
 
 def _pick_tri_hit(bvh: TriBVH, cfg: RenderConfig):
-    if cfg.use_pallas:
+    """Traversal strategy dispatch (cfg.traversal):
+
+    - "cull": dense leaf cull + listed-leaf Pallas sweep (traverse_cull) —
+      no tree walk on device at all; wins when blocks are leaf-sparse.
+    - "packet": shared-stack packet tree walk in Pallas (traverse_pallas).
+    - "jnp": the XLA reference path (always used on CPU).
+    - "auto": cull when the tree qualifies, else packet, else jnp.
+    """
+    mode = cfg.traversal
+    on_accel = jax.default_backend() not in ("cpu",)
+    if cfg.use_pallas and on_accel and mode in ("auto", "cull"):
+        from offline_raytracer_tpu.ops import traverse_cull as tc
         from offline_raytracer_tpu.ops import traverse_pallas as tp
 
-        if jax.default_backend() not in ("cpu",) and tp.fits_vmem(bvh):
+        if tc.cull_ok(bvh) and tp.fits_vmem(bvh):
+            return tc.bvh_hit_ts_cull
+    if cfg.use_pallas and on_accel and mode in ("auto", "packet"):
+        from offline_raytracer_tpu.ops import traverse_pallas as tp
+
+        if tp.fits_vmem(bvh):
             return functools.partial(
                 tp.bvh_hit_ts_pallas, max_stack=cfg.max_stack_depth)
     return functools.partial(bvh_hit_ts, max_stack=cfg.max_stack_depth)

@@ -213,3 +213,50 @@ def test_sorted_trace_matches_unsorted(ref_data_dir):
     np.testing.assert_allclose(np.asarray(h_sorted.t)[np.asarray(h_sorted.valid)],
                                np.asarray(h_plain.t)[np.asarray(h_plain.valid)],
                                rtol=1e-5)
+
+
+def test_cull_interpret_matches_jnp():
+    """Cull-and-sweep kernel vs jnp packet traversal (interpret mode)."""
+    from offline_raytracer_tpu.ops.traverse_cull import bvh_hit_ts_cull
+
+    v0, v1, v2 = _random_tris(200, seed=13)
+    bvh = build_tri_bvh(v0, v1, v2, np.zeros(200, np.int32))
+    rs = np.random.RandomState(3)
+    R = 160  # not a block multiple: tests padding
+    ro = rs.uniform(-6, 6, (R, 3)).astype(np.float32)
+    rd = rs.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+
+    t_ref, s_ref = jax.jit(lambda a, b: bvh_hit_ts(bvh, a, b, 1e-6))(ro, rd)
+    t_c, s_c = bvh_hit_ts_cull(bvh, ro, rd, 1e-6, interpret=True)
+    t_ref, t_c = np.asarray(t_ref), np.asarray(t_c)
+    hit_ref = np.isfinite(t_ref)
+    hit_c = np.isfinite(t_c)
+    np.testing.assert_array_equal(hit_ref, hit_c)
+    np.testing.assert_allclose(t_c[hit_c], t_ref[hit_ref], rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(s_ref)[hit_ref], np.asarray(s_c)[hit_c])
+
+
+def test_cull_any_hit_interpret():
+    from offline_raytracer_tpu.ops.traverse_cull import bvh_hit_ts_cull
+
+    v0, v1, v2 = _random_tris(200, seed=17)
+    bvh = build_tri_bvh(v0, v1, v2, np.zeros(200, np.int32))
+    rs = np.random.RandomState(8)
+    R = 200
+    ro = rs.uniform(-6, 6, (R, 3)).astype(np.float32)
+    rd = rs.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    t_far = rs.uniform(0.5, 12.0, (R,)).astype(np.float32)
+    t_far[::5] = 0.0  # parked lanes must stay unreported
+    ro, rd, t_far = jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(t_far)
+
+    t_ref, _ = jax.jit(lambda a, b: bvh_hit_ts(bvh, a, b, 1e-6))(ro, rd)
+    occ_ref = (np.isfinite(np.asarray(t_ref))
+               & (np.asarray(t_ref) < np.asarray(t_far)))
+    _, s_c = bvh_hit_ts_cull(bvh, ro, rd, 1e-6, t_far,
+                             any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_c) >= 0, occ_ref)
+    assert not (np.asarray(s_c) >= 0)[::5].any()
