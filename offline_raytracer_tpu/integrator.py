@@ -93,6 +93,10 @@ def trace_paths(
     do_mis = do_nee and cfg.enable_mis
 
     def bounce(state: PathState, bounce_idx):
+        # all of this bounce's randomness in one threefry sweep:
+        # [0] light pick  [1:4] light point  [4] RR  [5:8] bsdf sample
+        u8 = rng.bounce_uniforms(state.keys, bounce_idx, 8)
+
         hit = trace_fn(state.origin, state.direction)
 
         emit = mats.emit[hit.mat]
@@ -137,8 +141,7 @@ def trace_paths(
         # ------ next-event estimation (working version of ref's dead
         # explicit-connection block, ray.cpp:1285-1327)
         if do_nee:
-            k_light = rng.stream_keys(state.keys, bounce_idx, rng.STREAM_LIGHT)
-            ls = light_ops.sample_lights(k_light, scene.lights, mats.emit)
+            ls = light_ops.sample_lights(u8[:, 0:4], scene.lights, mats.emit)
             to_l = ls.p - x
             dist_l = jnp.linalg.norm(to_l, axis=-1)
             wi_l = to_l / jnp.maximum(dist_l, 1e-9)[..., None]
@@ -170,21 +173,14 @@ def trace_paths(
         # ------ Russian roulette (ref :1280, gate before each continuation)
         throughput = state.throughput
         if cfg.russian_roulette < 1.0:
-            k_rr = rng.stream_keys(state.keys, bounce_idx, rng.STREAM_RR)
-            u_rr = rng.batched_uniform(k_rr)[..., 0]
+            u_rr = u8[:, 4]
             rr_on = bounce_idx >= cfg.rr_start_bounce
             survive = jnp.where(rr_on, u_rr < cfg.russian_roulette, True)
             alive = alive & survive
             throughput = jnp.where(rr_on, throughput / cfg.russian_roulette, throughput)
 
-        # ------ BSDF sampling (implicit continuation, ref :1335)
-        k_bsdf = rng.stream_keys(state.keys, bounce_idx, rng.STREAM_BSDF)
-        samp = jax.vmap(
-            lambda k, nn, ww, kd, ks, kt, io, ro_: bsdf_ops.sample_bsdf(
-                k, nn, ww,
-                bsdf_ops.MatParams(kd=kd, ks=ks, kt=kt, ior=io, roughness=ro_),
-            )
-        )(k_bsdf, n, wo, matp.kd, matp.ks, matp.kt, matp.ior, matp.roughness)
+        # ------ BSDF sampling (implicit continuation, ref :1335) — batched
+        samp = bsdf_ops.sample_bsdf(u8[:, 5:8], n, wo, matp)
         wi = sg(normalize(samp.wi))
         pdf = sg(bsdf_ops.pdf_bsdf(n, wi, wo, matp))
         f = bsdf_ops.eval_bsdf(n, wi, wo, matp, seg_len)

@@ -24,7 +24,6 @@ Sidedness is resolved through signed dots exactly like get_beer_n
 from __future__ import annotations
 
 import flax.struct
-import jax
 import jax.numpy as jnp
 
 from offline_raytracer_tpu.utils.math import frame_to_world, normalize, vdot
@@ -199,12 +198,15 @@ class BsdfSample:
     is_transmission: jnp.ndarray  # (R,) bool — ray passes through the surface
 
 
-def sample_bsdf(key, n, wo, mat: MatParams) -> BsdfSample:
+def sample_bsdf(u, n, wo, mat: MatParams) -> BsdfSample:
     """Importance-sample wi from the 3-lobe mixture (sample_brdf,
-    ray.cpp:1100-1161). All draws come from a single counter-based key."""
+    ray.cpp:1100-1161).
+
+    ``u``: (..., 3) uniforms in [0,1) — [e0, e1, lobe choice]. Taking
+    uniforms instead of a key keeps this fully batched (one call for the
+    whole wavefront) while the caller keeps draws counter-based per ray.
+    """
     pd_c, ps_c, _ = lobe_weights(mat)
-    shape = wo.shape[:-1]
-    u = jax.random.uniform(key, shape + (3,))
     e0, e1, choice = u[..., 0], u[..., 1], u[..., 2]
     phi = 2.0 * PI * e1
 

@@ -22,6 +22,28 @@ from offline_raytracer_tpu.scene.types import (
 from offline_raytracer_tpu.utils.math import rotation_matrix_to_z
 
 
+def _box_tris(bmin, bmax):
+    """12 outward-facing triangles covering an AABB (F=12, 3, 3)."""
+    x0, y0, z0 = bmin
+    x1, y1, z1 = bmax
+    c = np.array([[x0, y0, z0], [x1, y0, z0], [x0, y1, z0], [x1, y1, z0],
+                  [x0, y0, z1], [x1, y0, z1], [x0, y1, z1], [x1, y1, z1]],
+                 np.float32)
+    quads = [  # (a, b, c, d) counter-clockwise seen from outside
+        (0, 2, 3, 1),  # -z
+        (4, 5, 7, 6),  # +z
+        (0, 1, 5, 4),  # -y
+        (2, 6, 7, 3),  # +y
+        (0, 4, 6, 2),  # -x
+        (1, 3, 7, 5),  # +x
+    ]
+    f = []
+    for a, b, cc, d in quads:
+        f.append([a, b, cc])
+        f.append([a, cc, d])
+    return c[np.asarray(f)]  # (12, 3, 3)
+
+
 class SceneBuilder:
     def __init__(self):
         # material 0 is the default material (parser.cpp:1187)
@@ -88,12 +110,21 @@ class SceneBuilder:
         parser.cpp:1310-1327)."""
         mat = self.current_mat if mat is None else mat
         bmin = np.asarray(bmin, np.float32)
-        self._boxes.append((bmin, bmin + np.asarray(extent, np.float32), mat))
+        self.add_box_minmax(bmin, bmin + np.asarray(extent, np.float32), mat)
 
     def add_box_minmax(self, bmin, bmax, mat=None):
         mat = self.current_mat if mat is None else mat
-        self._boxes.append(
-            (np.asarray(bmin, np.float32), np.asarray(bmax, np.float32), mat))
+        bmin = np.asarray(bmin, np.float32)
+        bmax = np.asarray(bmax, np.float32)
+        self._boxes.append((bmin, bmax, mat))
+        # emissive boxes register as mesh lights (12 NEE-sampleable
+        # triangles used only for sampling; intersection still hits the
+        # analytic box) — keeps the "every emissive shape is sampleable"
+        # contract that the reference's light table (parser.cpp:1144-1182)
+        # never had for boxes.
+        if self._is_light(mat):
+            self._lights.append(dict(
+                kind=KIND_MESH, mat=mat, tris=_box_tris(bmin, bmax)))
 
     def add_cylinder(self, base, axis, radius, mat=None):
         mat = self.current_mat if mat is None else mat

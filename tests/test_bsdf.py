@@ -92,7 +92,7 @@ def test_sample_eval_pdf_consistency(mat_kw):
 
     @jax.jit
     def importance_estimate(key):
-        s = B.sample_bsdf(key, nrm, wo, mat)
+        s = B.sample_bsdf(jax.random.uniform(key, (n, 3)), nrm, wo, mat)
         pdf = B.pdf_bsdf(nrm, s.wi, wo, mat)
         f = B.eval_bsdf(nrm, s.wi, wo, mat, jnp.zeros(n))
         ok = pdf > 1e-7
@@ -118,7 +118,7 @@ def test_transmission_refracts_through():
     mat = _mat(kt=(1.0, 1.0, 1.0), ior=1.5, rough=0.05, n=n)
     nrm = jnp.tile(jnp.asarray(N_UP)[None], (n, 1))
     wo = jnp.tile(jnp.asarray([0.0, 0.3, 0.954]) / np.linalg.norm([0.0, 0.3, 0.954]), (n, 1))
-    s = B.sample_bsdf(jax.random.PRNGKey(3), nrm, wo, mat)
+    s = B.sample_bsdf(jax.random.uniform(jax.random.PRNGKey(3), (n, 3)), nrm, wo, mat)
     wi_z = np.asarray(s.wi)[:, 2]
     trans = np.asarray(s.is_transmission)
     assert trans.mean() > 0.9
