@@ -58,6 +58,17 @@ class RenderConfig:
     #                                packet tree walk (traverse_pallas.py)
     accum_dtype: str = "float32"
 
+    # knobs that change only scheduling/perf, never the estimate — excluded
+    # from checkpoint resume-compat comparison (utils/checkpoint._meta_of)
+    PERF_ONLY = ("ray_batch", "use_pallas", "traversal", "sort_rays",
+                 "max_stack_depth")
+
+    def __post_init__(self):
+        if self.traversal not in ("auto", "cull", "packet", "jnp"):
+            raise ValueError(
+                f"traversal must be one of auto|cull|packet|jnp, "
+                f"got {self.traversal!r}")
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

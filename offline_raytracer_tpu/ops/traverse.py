@@ -196,11 +196,12 @@ def _pick_tri_hit(bvh: TriBVH, cfg: RenderConfig):
     on_accel = jax.default_backend() not in ("cpu",)
     if cfg.use_pallas and on_accel and mode in ("auto", "cull"):
         from offline_raytracer_tpu.ops import traverse_cull as tc
-        from offline_raytracer_tpu.ops import traverse_pallas as tp
 
-        if tc.cull_ok(bvh) and tp.fits_vmem(bvh):
+        if tc.cull_ok(bvh) and tc.fits_vmem(bvh):
             return tc.bvh_hit_ts_cull
-    if cfg.use_pallas and on_accel and mode in ("auto", "packet"):
+    # an explicit "cull" on an unqualified tree degrades to the packet
+    # kernel (the next-fastest on-chip path), not to the jnp walk
+    if cfg.use_pallas and on_accel and mode in ("auto", "packet", "cull"):
         from offline_raytracer_tpu.ops import traverse_pallas as tp
 
         if tp.fits_vmem(bvh):

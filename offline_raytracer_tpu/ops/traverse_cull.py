@@ -53,6 +53,19 @@ def cull_ok(bvh: TriBVH) -> bool:
     )
 
 
+def fits_vmem(bvh: TriBVH, sub: int = DEFAULT_SUB) -> bool:
+    """Cull kernel's own footprint: coefficient planes + the (sub, 128,
+    128) sweep temps + the SMEM leaf list. Unlike the packet kernel it
+    never touches child_rows, so deep trees with few leaves still qualify
+    (ADVICE r1 #3)."""
+    from offline_raytracer_tpu.ops.traverse_pallas import VMEM_BUDGET
+
+    planes = int(bvh.planes.size) * 4
+    temps = 6 * sub * LANE * LANE * 4
+    smem_list = bvh.planes.shape[1] * 4  # leaf ids, one int32 per leaf
+    return planes + temps + (1 << 20) < VMEM_BUDGET and smem_list < 64 * 1024
+
+
 def block_leaf_lists(bvh: TriBVH, ro, rd, t_bound, block: int):
     """Dense cull -> per-block wanted-leaf lists.
 

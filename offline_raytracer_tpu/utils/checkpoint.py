@@ -25,9 +25,21 @@ import numpy as np
 
 
 def _meta_of(cfg) -> dict:
+    """Estimate-relevant config only: perf/scheduling knobs (ray_batch,
+    traversal backend, ...) don't change what the sums mean, so toggling
+    them mid-render must NOT discard resume state (ADVICE r1)."""
     import dataclasses
 
-    return {k: v for k, v in dataclasses.asdict(cfg).items()}
+    perf_only = set(getattr(cfg, "PERF_ONLY", ()))
+    return {k: v for k, v in dataclasses.asdict(cfg).items()
+            if k not in perf_only}
+
+
+def _meta_compatible(stored: dict, current: dict) -> bool:
+    """Versioned-meta comparison: keys present in both must agree; keys
+    known to only one side (older/newer writer) are ignored."""
+    common = stored.keys() & current.keys()
+    return all(stored[k] == current[k] for k in common)
 
 
 def save_accum(path: str, accum: np.ndarray, spp_done: int, cfg) -> None:
@@ -60,7 +72,7 @@ def load_accum(path: str, cfg):
     try:
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
-            if meta != _meta_of(cfg):
+            if not _meta_compatible(meta, _meta_of(cfg)):
                 return None
             return np.asarray(z["accum"], np.float32), int(z["spp_done"])
     except Exception:

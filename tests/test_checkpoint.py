@@ -40,6 +40,16 @@ def test_accum_config_mismatch_rejected(tmp_path):
     assert ckpt.load_accum(path, cfg.replace(seed=99)) is None
 
 
+def test_accum_perf_knob_change_resumes(tmp_path):
+    """Perf-only knobs (traversal backend, ray_batch, ...) don't change the
+    estimate — toggling them mid-render must keep resume state (ADVICE r1)."""
+    cfg = RenderConfig(**CFG)
+    path = str(tmp_path / "accum.npz")
+    ckpt.save_accum(path, np.zeros((256, 3), np.float32), 5, cfg)
+    cfg2 = cfg.replace(traversal="jnp", ray_batch=1 << 10, use_pallas=False)
+    assert ckpt.load_accum(path, cfg2) is not None
+
+
 def test_resume_is_bitwise_uninterrupted(analytic_scene, tmp_path):
     cfg = RenderConfig(**CFG)
     path = str(tmp_path / "render.npz")
