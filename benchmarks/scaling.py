@@ -26,9 +26,20 @@ def main():
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--multihost", action="store_true",
+                    help="join a multi-host cluster before measuring: the"
+                         " device counts then span hosts (>=85%% 1->N-host"
+                         " scaling target, BASELINE.md)")
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     import jax
+
+    if args.multihost:
+        from offline_raytracer_tpu.parallel.shard import init_multihost
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
 
     if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
         # the axon TPU plugin overrides the env var; honor the intent

@@ -38,6 +38,15 @@ def build_parser():
                    help="match reference estimator: no NEE, no pixel jitter")
     p.add_argument("--ray-batch", type=int, default=1 << 17)
     p.add_argument("--sharded", action="store_true", help="shard over all devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host cluster (jax.distributed.initialize"
+                        " with auto-detected coordinator) before building the"
+                        " mesh; implies --sharded")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (with --multihost on manual"
+                        " clusters; auto-detected on TPU pods)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--out", default="out/render.hdr")
     p.add_argument("--png", default=None, help="also write a tonemapped png")
     p.add_argument("--exposure", type=float, default=1.0)
@@ -82,6 +91,13 @@ def main(argv=None):
     from offline_raytracer_tpu.config import RenderConfig
     from offline_raytracer_tpu.render import render_image
     from offline_raytracer_tpu.utils import hdr
+
+    if args.multihost:
+        # must run before any other jax call creates the single-host backend
+        from offline_raytracer_tpu.parallel.shard import init_multihost
+        pid = init_multihost(args.coordinator, args.num_processes, args.process_id)
+        print(f"multihost: process {pid}", file=sys.stderr)
+        args.sharded = True
 
     t0 = time.time()
     if args.scene:

@@ -108,6 +108,33 @@ def _ring_tri_hit(bvh_local: TriBVH, ro, rd, t_min, n_dev: int, axis: str):
     return best_t, best_id
 
 
+def _ring_tri_occluded(bvh_local: TriBVH, ro, rd, t_far, t_min,
+                       n_dev: int, axis: str):
+    """Any-hit across ALL shards: n_dev ring steps with early lane collapse.
+
+    Each step runs the seeded any-hit traversal against the local shard;
+    lanes already occluded rotate with ``t_far`` collapsed to 0, so they are
+    dead on launch at every later shard and cost nothing (the distributed
+    version of the single-shard shadow fast path, traverse.py).
+    """
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def step(carry, _):
+        ro_c, rd_c, tf_c, occ = carry
+        _, slot = bvh_hit_ts(bvh_local, ro_c, rd_c, t_min, t_far=tf_c,
+                             any_hit=True)
+        hit = (slot >= 0) & (
+            bvh_local.tri_index[jnp.maximum(slot, 0)] >= 0)
+        occ = occ | hit
+        tf_c = jnp.where(occ, 0.0, tf_c)        # collapse resolved lanes
+        carry = jax.lax.ppermute((ro_c, rd_c, tf_c, occ), axis, perm)
+        return carry, None
+
+    init = (ro, rd, t_far, jnp.zeros(ro.shape[:1], bool))
+    (_, _, _, occ), _ = jax.lax.scan(step, init, None, length=n_dev)
+    return occ
+
+
 def make_ring_trace_fn(scene: Scene, cfg: RenderConfig,
                        bvh_local: TriBVH, n_dev: int, axis: str = RAY_AXIS):
     """Closest-hit fn for use INSIDE shard_map: local-shard BVH traversal
@@ -147,6 +174,31 @@ def make_ring_trace_fn(scene: Scene, cfg: RenderConfig,
     return trace
 
 
+def make_ring_occlusion_fn(scene: Scene, cfg: RenderConfig,
+                           bvh_local: TriBVH, n_dev: int,
+                           axis: str = RAY_AXIS):
+    """occluded(ro, rd, t_far) for use INSIDE shard_map: analytic prims
+    replicated + triangle any-hit ring (n_dev early-exit steps instead of
+    n_dev closest-hit traversals)."""
+
+    def occluded(ro, rd, t_far):
+        hit = jnp.zeros(ro.shape[:1], bool)
+        if scene.spheres.radius.shape[0]:
+            ts = I.sphere_ts(scene.spheres, ro, rd, cfg.t_min)
+            hit |= jnp.any(ts < t_far[:, None], -1)
+        if scene.boxes.mat.shape[0]:
+            ts = I.box_ts(scene.boxes, ro, rd, cfg.t_min)
+            hit |= jnp.any(ts < t_far[:, None], -1)
+        if scene.cylinders.radius.shape[0]:
+            ts = I.cylinder_ts(scene.cylinders, ro, rd, cfg.t_min)
+            hit |= jnp.any(ts < t_far[:, None], -1)
+        tf = jnp.where(hit, 0.0, t_far)          # resolved lanes ride dead
+        return hit | _ring_tri_occluded(
+            bvh_local, ro, rd, tf, cfg.t_min, n_dev, axis)
+
+    return occluded
+
+
 def render_block_ring(
     scene: Scene, cfg: RenderConfig, mesh, pixel_ids,
     sample_lo: int = 0, n_samples: int | None = None,
@@ -166,6 +218,7 @@ def render_block_ring(
     def local(scene_rep, cr, pl, ti, ids_shard):
         bvh_local = _local_bvh(cr[0], pl[0], ti[0], p, m)
         trace_fn = make_ring_trace_fn(scene_rep, cfg, bvh_local, n_dev)
+        occl_fn = make_ring_occlusion_fn(scene_rep, cfg, bvh_local, n_dev)
         P_ = ids_shard.shape[0]
         root = rng.render_key(cfg.seed)
 
@@ -173,7 +226,8 @@ def render_block_ring(
             ps_keys = rng.pixel_sample_keys(
                 root, ids_shard, jnp.full((P_,), sample_idx, jnp.int32))
             ro, rd = generate_rays(scene_rep.camera, cfg, ids_shard, ps_keys)
-            radiance = trace_paths(scene_rep, cfg, trace_fn, ro, rd, ps_keys)
+            radiance = trace_paths(scene_rep, cfg, trace_fn, ro, rd, ps_keys,
+                                   occl_fn=occl_fn)
             return accum + radiance, None
 
         accum, _ = jax.lax.scan(

@@ -40,8 +40,44 @@ except AttributeError:  # pragma: no cover
 RAY_AXIS = "rays"
 
 
+def init_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Wire this process into a multi-host JAX runtime.
+
+    Calls ``jax.distributed.initialize()`` — after this, ``jax.devices()``
+    spans every host in the slice and the exact same ``make_mesh()`` /
+    ``shard_map`` code paths below run across hosts (collectives ride ICI
+    within a slice, DCN across slices). With no arguments, coordinator and
+    process identity are auto-detected from the TPU/cluster environment
+    (the standard path on Cloud TPU pods); pass them explicitly for manual
+    clusters. Returns this process's index.
+
+    The reference has nothing to wire here — nothing in it crosses a
+    process boundary (SURVEY.md §5 "Distributed communication backend").
+    Idempotent: a second call is a no-op.
+    """
+    if getattr(init_multihost, "_done", False):
+        return jax.process_index()
+    kw = {}
+    if coordinator_address is not None:
+        kw["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+    init_multihost._done = True
+    return jax.process_index()
+
+
 def make_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
-    """1-D mesh over all (or the given) devices; axis name `rays`."""
+    """1-D mesh over all (or the given) devices; axis name `rays`.
+
+    After ``init_multihost()``, ``jax.devices()`` already includes every
+    host's chips, so the same call builds a global multi-host mesh."""
     devs = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devs), (RAY_AXIS,))
 

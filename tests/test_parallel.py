@@ -95,6 +95,59 @@ def test_ring_geometry_matches_replicated(ref_data_dir):
         np.asarray(ring), np.asarray(rep), rtol=1e-4, atol=1e-5)
 
 
+def test_ring_occlusion_matches_replicated(ref_data_dir):
+    """Any-hit occlusion ring == replicated occlusion on bunny shadow rays.
+
+    The ring NEE path must resolve visibility with n_dev early-exit any-hit
+    steps (make_ring_occlusion_fn), not n_dev closest-hit rotations."""
+    from jax.sharding import PartitionSpec as P
+
+    from offline_raytracer_tpu.models.scenes import bunny
+    from offline_raytracer_tpu.ops.traverse import make_bvh_occlusion_fn
+    from offline_raytracer_tpu.parallel.ring import (
+        _local_bvh, build_bvh_shards, make_ring_occlusion_fn)
+    from offline_raytracer_tpu.parallel.shard import RAY_AXIS, shard_map
+
+    scene = bunny(16, 16)
+    cfg = RenderConfig(width=16, height=16, spp=1, max_bounces=2,
+                       enable_dof=False, use_pallas=False)
+    n_dev = 8
+    mesh = make_mesh(jax.devices()[:n_dev])
+    child_rows, planes, tri_index, p, m = build_bvh_shards(
+        np.asarray(scene.triangles.v0), np.asarray(scene.triangles.v1),
+        np.asarray(scene.triangles.v2), n_dev)
+
+    # shadow-ray-shaped queries: from points near the floor toward the light
+    rs = np.random.RandomState(0)
+    R = 256
+    ro = jnp.asarray(rs.uniform(-1, 1, (R, 3)).astype(np.float32)
+                     * np.array([2, 2, 0.5], np.float32))
+    to_light = np.array([0.0, -3.0, 6.0], np.float32) - np.asarray(ro)
+    dist = np.linalg.norm(to_light, axis=-1)
+    rd = jnp.asarray(to_light / dist[:, None])
+    t_far = jnp.asarray(dist.astype(np.float32))
+
+    ref_occ = make_bvh_occlusion_fn(scene, cfg)(ro, rd, t_far)
+
+    scene_rep = scene.replace(tri_bvh=None)
+
+    def local(scene_rep, cr, pl, ti, ro_s, rd_s, tf_s):
+        bvh_local = _local_bvh(cr[0], pl[0], ti[0], p, m)
+        occl = make_ring_occlusion_fn(scene_rep, cfg, bvh_local, n_dev)
+        return occl(ro_s, rd_s, tf_s)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                  P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS), check_vma=False)
+    ring_occ = jax.jit(fn)(scene_rep, child_rows, planes, tri_index,
+                           ro, rd, t_far)
+
+    np.testing.assert_array_equal(np.asarray(ring_occ), np.asarray(ref_occ))
+    assert 0 < int(np.asarray(ref_occ).sum()) < R   # nondegenerate query set
+
+
 def test_bvh_shards_cover_all_triangles(ref_data_dir):
     from offline_raytracer_tpu.models.scenes import bunny
     from offline_raytracer_tpu.parallel.ring import build_bvh_shards
