@@ -114,6 +114,15 @@ def trace_paths(
                 light_ops.mis_balance(state.prev_pdf, p_nee),
                 1.0,
             )
+        elif do_nee:
+            # NEE-only estimator (MIS off): direct light is integrated by
+            # the explicit connection, so an emissive found via a sampled
+            # continuation (prev_pdf >= 0) must not ALSO add at weight 1 —
+            # that double-counts. Camera-primary hits (prev_pdf < 0) keep
+            # weight 1; NEE-sampleable lights hit by bounce rays get 0.
+            light_idx = scene.mat_to_light[hit.mat]
+            mis_w = jnp.where(
+                (light_idx >= 0) & (state.prev_pdf >= 0.0), 0.0, 1.0)
         else:
             mis_w = jnp.ones((R,))
         add_emit = state.alive & hit_light
@@ -164,9 +173,17 @@ def trace_paths(
             else:
                 w_l = jnp.ones((R,))
             good = alive & visible & (cos_l > 1e-6) & (p_nee_solid > 1e-9)
+            # estimator split: the geometric factor cos/dist^2 AND the
+            # area pdf stay ATTACHED — they carry the real derivatives
+            # w.r.t. shading geometry (falloff) and light geometry
+            # (1/area with the reparameterized sample point); only the
+            # MIS weight is detached. Folding these into a detached
+            # 1/p_solid silently drops both — caught by the pixel-FD
+            # checks in tests/test_grad.py.
+            geom = cos_l / jnp.maximum(dist_l * dist_l, 1e-12)
             contrib = (
                 state.throughput * f_l * ls.emit
-                * sg(w_l / jnp.maximum(p_nee_solid, 1e-9))[..., None]
+                * (geom * sg(w_l) / jnp.maximum(ls.pdf_area, 1e-12))[..., None]
             )
             radiance = radiance + jnp.where(good[..., None], contrib, 0.0)
 
