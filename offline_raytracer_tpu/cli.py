@@ -157,14 +157,18 @@ def main(argv=None):
     print(f"rendered {w}x{h} @ {args.spp}spp in {dt:.1f}s "
           f"({n_paths/dt/1e6:.2f} Mpaths/s)", file=sys.stderr)
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    hdr.write_hdr(args.out, img)
-    print(f"wrote {args.out}", file=sys.stderr)
-    if args.png:
-        hdr.write_png(args.png, hdr.tonemap(img, exposure=args.exposure))
-        print(f"wrote {args.png}", file=sys.stderr)
-    print(json.dumps({"seconds": dt, "mpaths_per_s": n_paths / dt / 1e6,
-                      "width": w, "height": h, "spp": args.spp}))
+    # in a multi-host run every process holds the full image after the
+    # allgather — only process 0 touches the filesystem
+    import jax
+    if jax.process_index() == 0:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        hdr.write_hdr(args.out, img)
+        print(f"wrote {args.out}", file=sys.stderr)
+        if args.png:
+            hdr.write_png(args.png, hdr.tonemap(img, exposure=args.exposure))
+            print(f"wrote {args.png}", file=sys.stderr)
+        print(json.dumps({"seconds": dt, "mpaths_per_s": n_paths / dt / 1e6,
+                          "width": w, "height": h, "spp": args.spp}))
 
 
 if __name__ == "__main__":

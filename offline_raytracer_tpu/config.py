@@ -52,10 +52,14 @@ class RenderConfig:
     ray_batch: int = 1 << 17       # rays per device step (pixels*spp chunked)
     use_pallas: bool = True        # pallas megakernel on TPU (auto-
     #                                fallback: CPU backend or BVH > VMEM)
-    traversal: str = "auto"        # "auto" | "cull" | "packet" | "jnp":
-    #                                auto = cull-and-sweep when the tree
-    #                                qualifies (traverse_cull.py), else the
-    #                                packet tree walk (traverse_pallas.py)
+    traversal: str = "auto"        # "auto" | "mega" | "cull" | "packet" |
+    #                                "jnp". auto = the fused megakernel
+    #                                (ops/mega.py, forward-only) when the
+    #                                scene qualifies, else cull-and-sweep
+    #                                (traverse_cull.py), else the packet
+    #                                tree walk (traverse_pallas.py).
+    #                                Gradient renders need an XLA mode
+    #                                (cull/packet/jnp) set explicitly.
     accum_dtype: str = "float32"
 
     # knobs that change only scheduling/perf, never the estimate — excluded
@@ -64,9 +68,9 @@ class RenderConfig:
                  "max_stack_depth")
 
     def __post_init__(self):
-        if self.traversal not in ("auto", "cull", "packet", "jnp"):
+        if self.traversal not in ("auto", "mega", "cull", "packet", "jnp"):
             raise ValueError(
-                f"traversal must be one of auto|cull|packet|jnp, "
+                f"traversal must be one of auto|mega|cull|packet|jnp, "
                 f"got {self.traversal!r}")
 
     def replace(self, **kw) -> "RenderConfig":

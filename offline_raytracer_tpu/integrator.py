@@ -119,10 +119,14 @@ def trace_paths(
             # the explicit connection, so an emissive found via a sampled
             # continuation (prev_pdf >= 0) must not ALSO add at weight 1 —
             # that double-counts. Camera-primary hits (prev_pdf < 0) keep
-            # weight 1; NEE-sampleable lights hit by bounce rays get 0.
+            # weight 1. The NEE connection only ever integrates the light's
+            # FRONT face (cos_l gate below), so back-facing emissive hits
+            # keep weight 1 too — zeroing them would lose energy, not
+            # remove a double count (ADVICE r2).
             light_idx = scene.mat_to_light[hit.mat]
+            front = jnp.sum(hit.normal * (-state.direction), -1) > 1e-6
             mis_w = jnp.where(
-                (light_idx >= 0) & (state.prev_pdf >= 0.0), 0.0, 1.0)
+                (light_idx >= 0) & (state.prev_pdf >= 0.0) & front, 0.0, 1.0)
         else:
             mis_w = jnp.ones((R,))
         add_emit = state.alive & hit_light

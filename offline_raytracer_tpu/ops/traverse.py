@@ -194,14 +194,16 @@ def _pick_tri_hit(bvh: TriBVH, cfg: RenderConfig):
     """
     mode = cfg.traversal
     on_accel = jax.default_backend() not in ("cpu",)
-    if cfg.use_pallas and on_accel and mode in ("auto", "cull"):
+    # "mega" reaching this dispatch means the scene failed the megakernel
+    # gate (render._mega_active) — degrade like "auto"
+    if cfg.use_pallas and on_accel and mode in ("auto", "mega", "cull"):
         from offline_raytracer_tpu.ops import traverse_cull as tc
 
         if tc.cull_ok(bvh) and tc.fits_vmem(bvh):
             return tc.bvh_hit_ts_cull
     # an explicit "cull" on an unqualified tree degrades to the packet
     # kernel (the next-fastest on-chip path), not to the jnp walk
-    if cfg.use_pallas and on_accel and mode in ("auto", "packet", "cull"):
+    if cfg.use_pallas and on_accel and mode in ("auto", "mega", "packet", "cull"):
         from offline_raytracer_tpu.ops import traverse_pallas as tp
 
         if tp.fits_vmem(bvh):

@@ -62,8 +62,12 @@ def fits_vmem(bvh: TriBVH, sub: int = DEFAULT_SUB) -> bool:
 
     planes = int(bvh.planes.size) * 4
     temps = 6 * sub * LANE * LANE * 4
-    # per-ROW leaf lists: sub lists of L int32 ids per block
-    smem_list = sub * bvh.planes.shape[1] * 4
+    # per-ROW leaf lists: sub lists of the *lane-padded* list width (the
+    # actual kernel block slice is leaf_bounds' width, 128-aligned, not
+    # planes' 8-aligned width — ADVICE r2), plus the sub-int32 counts row
+    l_lane = (bvh.leaf_bounds.shape[1] if bvh.leaf_bounds is not None
+              else -(-bvh.m_occ // LANE) * LANE)
+    smem_list = sub * l_lane * 4 + sub * 4
     return planes + temps + (1 << 20) < VMEM_BUDGET and smem_list < 64 * 1024
 
 
@@ -254,9 +258,13 @@ def bvh_hit_ts_cull(bvh: TriBVH, ro, rd, t_min, t_far=None,
     lists, counts = block_leaf_lists(bvh, ro_p, rd_p, tf_p, LANE)
 
     # Group 128-ray rows with similar list lengths into the same (sub, 128)
-    # kernel block: the loop runs max_r(count_r) iterations per block, so
-    # sorting rows by count makes max ~= mean and removes the straggler-row
-    # penalty (measured ~25-35% of sweep work on scattered bounce rays).
+    # kernel block. A block's cost is the SUM of its row counts (rows run
+    # sequentially in a fori_loop), which permutation cannot change — the
+    # measured ~25-35% win comes from inter-block load balance: the grid
+    # pipeline's per-block latency is hidden best when consecutive blocks
+    # have similar totals, and the all-short-row blocks retire in one
+    # pipeline stage instead of straggling behind a mixed block (ADVICE
+    # r2 corrected the earlier max-iteration rationale).
     # Row permutation is a (rows,) argsort — negligible next to the sweep.
     row_order = jnp.argsort(counts[:, 0])
     row_inv = jnp.argsort(row_order)

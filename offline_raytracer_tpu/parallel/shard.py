@@ -105,14 +105,41 @@ def render_block_sharded(
     return jax.jit(fn)(scene, pixel_ids)
 
 
+def global_sharded_array(values: np.ndarray, mesh: Mesh, spec: P):
+    """Host-local numpy -> a *global* jax.Array sharded over ``mesh``.
+
+    In a multi-process run a plain ``jnp.asarray`` is host-local and
+    cannot feed a computation whose sharding spans non-addressable
+    devices; ``make_array_from_callback`` hands each process only the
+    shards it owns (ADVICE r2: the previous wiring crashed off-host).
+    Single-process behavior is identical.
+    """
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        values.shape, sharding, lambda idx: values[idx])
+
+
+def fetch_global(out) -> np.ndarray:
+    """Fetch a possibly multi-host-sharded array to every host as numpy."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(out, tiled=True))
+    return np.asarray(out)
+
+
 def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh):
-    """Full sharded render -> (H, W, 3) float32 numpy, row 0 = top."""
+    """Full sharded render -> (H, W, 3) float32 numpy, row 0 = top.
+
+    Multi-host safe: inputs enter as global arrays (each process supplies
+    its own shards) and the framebuffer is allgathered across processes.
+    """
     n_pixels = cfg.width * cfg.height
     n_dev = mesh.size
     pad = (-n_pixels) % n_dev
-    ids = jnp.arange(n_pixels + pad, dtype=jnp.int32) % n_pixels
+    ids_np = (np.arange(n_pixels + pad) % n_pixels).astype(np.int32)
+    ids = global_sharded_array(ids_np, mesh, P(RAY_AXIS))
     out = render_block_sharded(scene, cfg, mesh, ids)
-    img = np.asarray(out)[:n_pixels]
+    img = fetch_global(out)[:n_pixels]
     return img.reshape(cfg.height, cfg.width, 3)[::-1]
 
 

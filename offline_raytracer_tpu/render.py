@@ -31,6 +31,39 @@ def _trace_builder(scene: Scene, cfg: RenderConfig):
     return make_brute_trace_fn(scene, cfg), None
 
 
+def _mega_active(scene: Scene, cfg: RenderConfig) -> bool:
+    """Route through the fused megakernel (ops/mega.py)?  Static checks
+    only; evaluated at trace time.  Forward-only — gradient renders must
+    pick an XLA traversal ("cull"/"packet"/"jnp") explicitly."""
+    if cfg.traversal not in ("auto", "mega") or not cfg.use_pallas:
+        return False
+    if not cfg.use_bvh:
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from offline_raytracer_tpu.ops import mega
+    return mega.mega_ok(scene, cfg)
+
+
+def _paths_fn(scene: Scene, cfg: RenderConfig):
+    """Path-trace callable (ro, rd, keys, collect_stats) -> radiance[, stats]:
+    the fused megakernel when the scene qualifies, else the XLA wavefront."""
+    if _mega_active(scene, cfg):
+        from offline_raytracer_tpu.ops import mega
+
+        def f(ro, rd, keys, collect_stats=False):
+            return mega.render_paths_mega(
+                scene, cfg, ro, rd, keys, collect_stats=collect_stats)
+        return f
+
+    trace_fn, occl_fn = _trace_builder(scene, cfg)
+
+    def f(ro, rd, keys, collect_stats=False):
+        return trace_paths(scene, cfg, trace_fn, ro, rd, keys,
+                           collect_stats=collect_stats, occl_fn=occl_fn)
+    return f
+
+
 def render_block(scene: Scene, cfg: RenderConfig, pixel_ids, sample_lo: int, n_samples: int):
     """Render `n_samples` paths for each pixel id. Returns (P, 3) mean radiance.
 
@@ -38,15 +71,14 @@ def render_block(scene: Scene, cfg: RenderConfig, pixel_ids, sample_lo: int, n_s
     are chunked through a lax.scan so peak memory stays at one ray batch.
     """
     P = pixel_ids.shape[0]
-    trace_fn, occl_fn = _trace_builder(scene, cfg)
+    paths = _paths_fn(scene, cfg)
     root = rng.render_key(cfg.seed)
 
     def one_sample(accum, sample_idx):
         ps_keys = rng.pixel_sample_keys(
             root, pixel_ids, jnp.full((P,), sample_idx, jnp.int32))
         ro, rd = generate_rays(scene.camera, cfg, pixel_ids, ps_keys)
-        radiance = trace_paths(scene, cfg, trace_fn, ro, rd, ps_keys,
-                               occl_fn=occl_fn)
+        radiance = paths(ro, rd, ps_keys)
         return accum + radiance, None
 
     accum, _ = jax.lax.scan(
@@ -59,6 +91,23 @@ def render_block_jit(scene, cfg, pixel_ids, sample_lo, n_samples):
     # sample_lo is TRACED (it only offsets the sample-index iota): a render
     # sweeps many sample windows and must not recompile per window
     return render_block(scene, cfg, pixel_ids, sample_lo, n_samples)
+
+
+def tile_pixel_ids(width: int, height: int, tile: int = 32) -> np.ndarray:
+    """All pixel ids, permuted to tile-major order (32x32 tiles).
+
+    A 32x32 tile is exactly one megakernel block (8x128 lanes), so feeding
+    blocks in tile order keeps every block spatially tight — camera rays
+    share BVH leaves and bounce rays stay region-local. This is the
+    coherence the reference gets from its tile work queue
+    (macos_main.mm:602-662), recovered as a one-time host-side permutation
+    instead of the per-bounce device argsort of rounds 1-2.
+    """
+    ids = np.arange(width * height, dtype=np.int32)
+    x = ids % width
+    y = ids // width
+    key = (y // tile).astype(np.int64) * (width // tile + 1) + (x // tile)
+    return ids[np.argsort(key, kind="stable")]
 
 
 def render_image(scene: Scene, cfg: RenderConfig, progress: bool = False,
@@ -80,9 +129,10 @@ def render_image(scene: Scene, cfg: RenderConfig, progress: bool = False,
     # converted once at the end): on high-latency dispatch paths a per-
     # launch np.asarray would serialize the whole render on the host
     # round-trip instead of the device compute.
+    all_ids = tile_pixel_ids(cfg.width, cfg.height)
     pending = []  # (ids, device_accum)
     for start in range(0, n_pixels, block):
-        ids = np.arange(start, min(start + block, n_pixels), dtype=np.int32)
+        ids = all_ids[start:min(start + block, n_pixels)]
         acc = None
         done = 0
         while done < cfg.spp:
@@ -172,7 +222,7 @@ def render_image_resumable(
 def render_block_stats(scene, cfg, pixel_ids, sample_lo: int, n_samples: int):
     """render_block + per-bounce alive counts (summed over samples)."""
     P = pixel_ids.shape[0]
-    trace_fn, occl_fn = _trace_builder(scene, cfg)
+    paths = _paths_fn(scene, cfg)
     root = rng.render_key(cfg.seed)
 
     def one_sample(carry, sample_idx):
@@ -180,9 +230,7 @@ def render_block_stats(scene, cfg, pixel_ids, sample_lo: int, n_samples: int):
         ps_keys = rng.pixel_sample_keys(
             root, pixel_ids, jnp.full((P,), sample_idx, jnp.int32))
         ro, rd = generate_rays(scene.camera, cfg, pixel_ids, ps_keys)
-        radiance, alive = trace_paths(
-            scene, cfg, trace_fn, ro, rd, ps_keys, collect_stats=True,
-            occl_fn=occl_fn)
+        radiance, alive = paths(ro, rd, ps_keys, collect_stats=True)
         return (accum + radiance, alive_acc + alive), None
 
     (accum, alive_acc), _ = jax.lax.scan(
