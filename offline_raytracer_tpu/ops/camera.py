@@ -52,8 +52,7 @@ def generate_rays(cam: Camera, cfg: RenderConfig, pixel_ids, ps_keys):
     x = (pixel_ids % cfg.width).astype(jnp.float32)
     y = (pixel_ids // cfg.width).astype(jnp.float32)
 
-    keys = rng.stream_keys(ps_keys, 0, rng.STREAM_APERTURE)
-    u = rng.batched_uniform(keys, 4)
+    u = rng.tagged_uniforms(ps_keys, rng.CAMERA_TAG, 4)
     if cfg.pixel_jitter:
         x = x + u[..., 0]
         y = y + u[..., 1]

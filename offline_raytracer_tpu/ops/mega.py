@@ -379,23 +379,22 @@ def sample_bsdf_pl(e0, e1, choice, n, wo, mp):
 
 def _mega_kernel(
     rays_ref, u_ref, planes_ref, matp_ref, leaf_ref, consts_ref,
-    rad_ref, cnt_ref,
+    out_ref, rad_ref, cnt_ref,
     st, hv, hm, sh, kf,
     *, meta: MegaMeta, L: int, m_occ: int, has_tris: bool,
-    max_bounces: int, t_min: float, hit_eps: float,
-    rr_p: float, rr_start: int, do_nee: bool, do_mis: bool,
-    debug_counters: bool = False,
+    t_min: float, hit_eps: float,
+    rr_p: float, rr_on: bool, do_nee: bool, do_mis: bool,
+    debug_counters: bool = False, interpret_exact: bool = False,
 ):
+    """ONE bounce for one (SUB, 128)-ray block.
+
+    State planes in/out: [0:3] origin, [3:6] direction, [6:9] throughput,
+    [9] prev_pdf, [10] alive. rad_ref gets this bounce's radiance DELTA.
+    The host wrapper loops bounces with wavefront compaction in between
+    (dead lanes partitioned to tail blocks, which skip everything here).
+    """
     f0 = jnp.zeros((SUB, LANE), jnp.float32)
     i0 = jnp.zeros((SUB, LANE), jnp.int32)
-
-    for k in range(6):
-        st[k] = rays_ref[0, k]
-    for k in range(3):
-        st[6 + k] = f0 + 1.0   # throughput
-        st[9 + k] = f0         # radiance
-    st[12] = f0 - 1.0          # prev_pdf (-1 = camera segment)
-    st[13] = f0 + 1.0          # alive
 
     def sphere_consider(j, o, d, bt, bn, bm):
         cx = consts_ref[meta.SPH + 0, j]
@@ -508,21 +507,27 @@ def _mega_kernel(
 
     def leaf_sweep(leaf, rox, roy, roz, rdx, rdy, rdz, bound):
         """One 128-triangle leaf vs a 128-ray row: (tmin, lane-mask, t3d)."""
-        row = lambda k: planes_ref[k, leaf, :]
+        coeff = planes_ref[:, pl.ds(leaf, 1), :]   # one (12,1,128) slice
+        row = lambda k: coeff[k, 0, :]
         s1x, s1y, s1z, c1 = row(0), row(1), row(2), row(3)
         s2x, s2y, s2z, c2 = row(4), row(5), row(6), row(7)
         nx, ny, nz, cw = row(8), row(9), row(10), row(11)
         o_w = pairs(rox, roy, roz, nx, ny, nz, cw)
         d_w = pairs(rdx, rdy, rdz, nx, ny, nz)
         ok_w = jnp.abs(d_w) > 1e-12
-        t = -o_w / jnp.where(ok_w, d_w, 1.0)
+        # approx reciprocal (~2^-12 rel err): the one full-latency ALU op
+        # in the sweep; hit-t error is orders below the t_min/hit_eps slack
+        if interpret_exact:
+            t = -o_w / jnp.where(ok_w, d_w, 1.0)
+        else:
+            t = -o_w * pl.reciprocal(jnp.where(ok_w, d_w, 1.0), approx=True)
         u = (pairs(rox, roy, roz, s1x, s1y, s1z, c1)
              + t * pairs(rdx, rdy, rdz, s1x, s1y, s1z))
         v = (pairs(rox, roy, roz, s2x, s2y, s2z, c2)
              + t * pairs(rdx, rdy, rdz, s2x, s2y, s2z))
         ok = (ok_w & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
               & (t >= t_min) & (t < bound[:, :, None]))
-        return jnp.where(ok, t, INF)
+        return jnp.where(ok, t, INF), coeff
 
     # The per-leaf near-distance keys live in VMEM scratch (kf) and the
     # while loops carry only scalars + (1, LANE) planes — Mosaic cannot
@@ -551,10 +556,10 @@ def _mega_kernel(
                 mn, it, bt = c[0], c[1], c[2]
                 return mn < jnp.max(bt)
 
-            def body(c):
-                mn, it, bt, bnx, bny, bnz, bm = c
-                leaf = _pick_leaf(mn)
-                t = leaf_sweep(leaf, rox, roy, roz, rdx, rdy, rdz, bt)
+            def visit(leaf, guard, bt, bnx, bny, bnz, bm):
+                bound = jnp.where(guard, bt, 0.0)
+                t, coeff = leaf_sweep(
+                    leaf, rox, roy, roz, rdx, rdy, rdz, bound)
                 tmin = t.min(-1)
                 better = tmin < bt
 
@@ -564,7 +569,7 @@ def _mega_kernel(
                     lane = jnp.min(
                         jnp.where(t <= tmin[:, :, None], lane_iota, BIGI), -1)
                     msk = lane_iota == lane[:, :, None]
-                    nrow = lambda k: planes_ref[k, leaf, :][None, None, :]
+                    nrow = lambda k: coeff[k, 0, :][None, None, :]
                     nxv = jnp.sum(jnp.where(msk, nrow(8), 0.0), -1)
                     nyv = jnp.sum(jnp.where(msk, nrow(9), 0.0), -1)
                     nzv = jnp.sum(jnp.where(msk, nrow(10), 0.0), -1)
@@ -576,11 +581,25 @@ def _mega_kernel(
                             jnp.where(better, nzv, bnz),
                             jnp.where(better, mv, bm))
 
-                bt, bnx, bny, bnz, bm = jax.lax.cond(
+                return jax.lax.cond(
                     jnp.any(better), with_attrs,
                     lambda _: (bt, bnx, bny, bnz, bm), None)
-                kf[pl.ds(leaf, 1), :] = jnp.full((1, 1), INF, jnp.float32)
-                return (jnp.min(kf[:, :]), it + 1.0, bt, bnx, bny, bnz, bm)
+
+            def body(c):
+                # visit TWO leaves per iteration: the while handshake and
+                # the (L,1) key reductions are a large fixed cost per trip
+                mn, it, bt, bnx, bny, bnz, bm = c
+                leaf_a = _pick_leaf(mn)
+                kf[pl.ds(leaf_a, 1), :] = jnp.full((1, 1), INF, jnp.float32)
+                mn_b = jnp.min(kf[:, :])
+                leaf_b = jnp.minimum(_pick_leaf(mn_b), L - 1)
+                kf[pl.ds(leaf_b, 1), :] = jnp.full((1, 1), INF, jnp.float32)
+
+                bt, bnx, bny, bnz, bm = visit(
+                    leaf_a, True, bt, bnx, bny, bnz, bm)
+                bt, bnx, bny, bnz, bm = visit(
+                    leaf_b, mn_b < jnp.max(bt), bt, bnx, bny, bnz, bm)
+                return (jnp.min(kf[:, :]), it + 2.0, bt, bnx, bny, bnz, bm)
 
             init = (jnp.min(kf[:, :]), jnp.float32(0.0), bt0,
                     hv[1, pl.ds(r, 1), :], hv[2, pl.ds(r, 1), :],
@@ -588,7 +607,7 @@ def _mega_kernel(
             _, it, bt, bnx, bny, bnz, bm = jax.lax.while_loop(cond, body, init)
             if debug_counters:   # CPU-interpret profiling only: the SMEM
                 # accumulation stalls the Mosaic compile on real TPUs
-                cnt_ref[0, 0, max_bounces] += it
+                cnt_ref[0, 0, 0] += it
             hv[0, pl.ds(r, 1), :] = bt
             hv[1, pl.ds(r, 1), :] = bnx
             hv[2, pl.ds(r, 1), :] = bny
@@ -619,17 +638,25 @@ def _mega_kernel(
 
             def body(c):
                 mn, it, occ = c
-                leaf = _pick_leaf(mn)
+                leaf_a = _pick_leaf(mn)
+                kf[pl.ds(leaf_a, 1), :] = jnp.full((1, 1), INF, jnp.float32)
+                mn_b = jnp.min(kf[:, :])
+                leaf_b = jnp.minimum(_pick_leaf(mn_b), L - 1)
+                kf[pl.ds(leaf_b, 1), :] = jnp.full((1, 1), INF, jnp.float32)
+
                 bound = jnp.where(occ > 0.5, 0.0, tfb)
-                t = leaf_sweep(leaf, rox, roy, roz, rdx, rdy, rdz, bound)
+                t, _ = leaf_sweep(leaf_a, rox, roy, roz, rdx, rdy, rdz, bound)
                 occ = jnp.maximum(occ, jnp.any(t < INF, -1).astype(jnp.float32))
-                kf[pl.ds(leaf, 1), :] = jnp.full((1, 1), INF, jnp.float32)
-                return jnp.min(kf[:, :]), it + 1.0, occ
+                bound = jnp.where(
+                    (occ > 0.5) | (mn_b >= INF), 0.0, tfb)
+                t, _ = leaf_sweep(leaf_b, rox, roy, roz, rdx, rdy, rdz, bound)
+                occ = jnp.maximum(occ, jnp.any(t < INF, -1).astype(jnp.float32))
+                return jnp.min(kf[:, :]), it + 2.0, occ
 
             _, it, occ = jax.lax.while_loop(
                 cond, body, (jnp.min(kf[:, :]), jnp.float32(0.0), occ0))
             if debug_counters:
-                cnt_ref[0, 0, max_bounces + 1] += it
+                cnt_ref[0, 0, 1] += it
             sh[7, pl.ds(r, 1), :] = occ
             return 0
 
@@ -675,9 +702,9 @@ def _mega_kernel(
         p = (cx + r * nsp[0], cy + r * nsp[1], cz + r * nsp[2])
         return p, nsp, (e0, e1, e2), inv_l
 
-    def bounce_body(b, _):
+    def bounce_body():
         def u_at(j):
-            return u_ref[0, pl.ds(b * 8 + j, 1)].reshape(SUB, LANE)
+            return u_ref[0, j]
 
         o = (st[0], st[1], st[2])
         d = (st[3], st[4], st[5])
@@ -775,13 +802,12 @@ def _mega_kernel(
                 rk + jnp.where(good, tk * fk * ek * scale, 0.0)
                 for rk, tk, fk, ek in zip(rad, tp, f_l, lemit))
 
-        # ---- Russian roulette
-        if rr_p < 1.0:
+        # ---- Russian roulette (rr_on is static: the host loop knows
+        # the bounce index)
+        if rr_p < 1.0 and rr_on:
             u_rr = u_at(4)
-            rr_on = b >= rr_start
-            survive = ~rr_on | (u_rr < rr_p)
-            alive = alive & survive
-            tp = tuple(jnp.where(rr_on, tk / rr_p, tk) for tk in tp)
+            alive = alive & (u_rr < rr_p)
+            tp = tuple(tk / rr_p for tk in tp)
 
         # ---- BSDF continuation
         wi, is_trans = sample_bsdf_pl(u_at(5), u_at(6), u_at(7), n, wo, mp)
@@ -804,27 +830,35 @@ def _mega_kernel(
         st[6], st[7], st[8] = tp
         st[9], st[10], st[11] = rad
         st[12] = jnp.where(alive, pdf, -1.0)
-        alive_f = alive.astype(jnp.float32)
-        st[13] = alive_f
-        cnt_ref[0, 0, b] = jnp.sum(alive_f)
-        return 0
+        st[13] = alive.astype(jnp.float32)
 
-    # whole-block early exit: once every lane in the block is dead (tile
-    # off-geometry, RR attrition) the remaining bounces cost nothing —
-    # the wavefront analog of the reference's per-ray loop exit
-    for b in range(max_bounces + (2 if debug_counters else 0)):
-        cnt_ref[0, 0, b] = 0.0
+    # defaults: state copies through and radiance delta is zero — a block
+    # whose lanes are all dead (compaction tail) does no work at all
+    for k in range(11):
+        out_ref[0, k] = rays_ref[0, k]
+    for k in range(3):
+        rad_ref[0, k] = f0
+    if debug_counters:
+        cnt_ref[0, 0, 0] = 0.0
+        cnt_ref[0, 0, 1] = 0.0
 
-    def bounce_step(b, n_alive):
-        @pl.when(n_alive > 0.0)
-        def _():
-            bounce_body(b, 0)
-        return jnp.sum(st[13, :, :])
-
-    jax.lax.fori_loop(0, max_bounces, bounce_step, jnp.float32(1.0))
-    rad_ref[0, 0] = st[9]
-    rad_ref[0, 1] = st[10]
-    rad_ref[0, 2] = st[11]
+    @pl.when(jnp.sum(rays_ref[0, 10]) > 0.0)
+    def _():
+        for k in range(9):
+            st[k] = rays_ref[0, k]
+        st[9] = f0                  # radiance delta accumulators
+        st[10] = f0
+        st[11] = f0
+        st[12] = rays_ref[0, 9]     # prev_pdf
+        st[13] = rays_ref[0, 10]    # alive
+        bounce_body()
+        for k in range(9):
+            out_ref[0, k] = st[k]
+        out_ref[0, 9] = st[12]
+        out_ref[0, 10] = st[13]
+        rad_ref[0, 0] = st[9]
+        rad_ref[0, 1] = st[10]
+        rad_ref[0, 2] = st[11]
 
 
 # ---------------------------------------------------------------------------
@@ -853,17 +887,6 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
         rd = jnp.concatenate(
             [rd, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], rd.dtype), (pad, 1))])
 
-    us = jnp.stack(
-        [rng.bounce_uniforms(ps_keys, b, 8) for b in range(B)], 0)  # (B,R,8)
-    if pad:
-        us = jnp.concatenate([us, jnp.zeros((B, pad, 8), us.dtype)], 1)
-    u_in = us.transpose(0, 2, 1).reshape(
-        B * 8, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
-
-    rays = jnp.stack([ro[:, 0], ro[:, 1], ro[:, 2],
-                      rd[:, 0], rd[:, 1], rd[:, 2]], 0)
-    rays = rays.reshape(6, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
-
     consts, meta = pack_consts(scene, cfg)
     has_tris = scene.triangles.mat.shape[0] > 0
     if has_tris:
@@ -886,53 +909,135 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
              jnp.zeros((L, 2), jnp.float32)], 1)
 
     do_nee = cfg.enable_nee and meta.nl > 0
-    kernel = functools.partial(
-        _mega_kernel, meta=meta, L=L, m_occ=m_occ, has_tris=has_tris,
-        max_bounces=B, t_min=float(cfg.t_min), hit_eps=float(cfg.hit_eps),
-        rr_p=float(cfg.russian_roulette), rr_start=int(cfg.rr_start_bounce),
-        do_nee=do_nee, do_mis=do_nee and cfg.enable_mis,
-        debug_counters=debug_counters)
-    CW = B + 2 if debug_counters else B
 
-    full4 = lambda shp: pl.BlockSpec(
-        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)
-    rad, cnt = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, 6, SUB, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B * 8, SUB, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full4(planes.shape),
-            full4(matp.shape),
-            full4(leaf_cols.shape),
-            pl.BlockSpec(consts.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CW), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, 3, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 1, CW), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((14, SUB, LANE), jnp.float32),
-            pltpu.VMEM((4, SUB, LANE), jnp.float32),
-            pltpu.VMEM((SUB, LANE), jnp.int32),
-            pltpu.VMEM((8, SUB, LANE), jnp.float32),
-            pltpu.VMEM((L, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(rays, u_in, planes, matp, leaf_cols, consts)
+    def bounce_call(state, u8p, rr_on):
+        """state: (11, Rp); u8p: (8, Rp) planes -> (state', rad_delta, dbg)."""
+        kernel = functools.partial(
+            _mega_kernel, meta=meta, L=L, m_occ=m_occ, has_tris=has_tris,
+            t_min=float(cfg.t_min), hit_eps=float(cfg.hit_eps),
+            rr_p=float(cfg.russian_roulette), rr_on=rr_on,
+            do_nee=do_nee, do_mis=do_nee and cfg.enable_mis,
+            debug_counters=debug_counters, interpret_exact=interpret)
+        full4 = lambda shp: pl.BlockSpec(
+            shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)
+        st_in = state.reshape(11, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
+        u_in = u8p.reshape(8, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
+        out, rad, cnt = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 11, SUB, LANE), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, SUB, LANE), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full4(planes.shape),
+                full4(matp.shape),
+                full4(leaf_cols.shape),
+                pl.BlockSpec(consts.shape, lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 11, SUB, LANE), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, 11, SUB, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, 3, SUB, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, 1, 2), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((14, SUB, LANE), jnp.float32),
+                pltpu.VMEM((4, SUB, LANE), jnp.float32),
+                pltpu.VMEM((SUB, LANE), jnp.int32),
+                pltpu.VMEM((8, SUB, LANE), jnp.float32),
+                pltpu.VMEM((L, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(st_in, u_in, planes, matp, leaf_cols, consts)
+        return (out.transpose(1, 0, 2, 3).reshape(11, Rp),
+                rad.transpose(1, 0, 2, 3).reshape(3, Rp),
+                cnt[:, 0, :].sum(0))
 
-    radiance = rad.transpose(0, 2, 3, 1).reshape(Rp, 3)[:R]
+    # world AABB (from the leaf bounds; pads are inverted so min/max skip
+    # them) for the compaction key's origin cells
+    wmin = [jnp.min(leaf_cols[:, k]) for k in range(3)]
+    wmax = [jnp.max(leaf_cols[:, 3 + k]) for k in range(3)]
+
+    def coherence_key(state):
+        """(dead, direction octant, 3-bit/axis origin Morton cell) int32.
+
+        One stable argsort of this key both compacts dead lanes to the
+        tail AND groups survivors into direction-coherent, spatially tight
+        128-lane rows — the decisive factor for the per-row leaf-union
+        sweep cost (measured ~2x on scattered bounce wavefronts).
+        """
+        o = state[0:3]
+        d = state[3:6]
+        dead = state[10] <= 0.5
+        octant = ((d[0] > 0).astype(jnp.int32) * 4
+                  + (d[1] > 0).astype(jnp.int32) * 2
+                  + (d[2] > 0).astype(jnp.int32))
+        qs = []
+        for k in range(3):
+            ext = jnp.maximum(wmax[k] - wmin[k], 1e-6)
+            q = jnp.clip((o[k] - wmin[k]) / ext * 32.0, 0.0, 31.0)
+            qs.append(q.astype(jnp.int32))
+        # 5-bit/axis Morton interleave: spatially compact runs at every
+        # scale (plain concatenation groups long thin slabs instead)
+        cell = jnp.zeros_like(qs[0])
+        for bit in range(5):
+            for k in range(3):
+                cell = cell * 2 + ((qs[k] >> (4 - bit)) & 1)
+        return (dead.astype(jnp.int32) * (1 << 19)
+                + octant * (1 << 16) + cell)
+
+    # ---- host bounce loop with wavefront compaction -----------------------
+    # After each bounce the wavefront is re-sorted by coherence_key: dead
+    # lanes sink to all-dead tail blocks (which cost nothing in the
+    # kernel) and survivors pack into direction/position-coherent rows.
+    # Radiance/keys/identity ride along in permuted space; one scatter at
+    # the end restores ray order. This is the stream compaction the
+    # reference never needed (its rays are sequential, ray.cpp:1280) and
+    # rounds 1-2 approximated with per-traversal global argsorts.
+    alive0 = jnp.concatenate(
+        [jnp.ones((R,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    state = jnp.concatenate([
+        ro.T, rd.T, jnp.ones((3, Rp), jnp.float32),
+        jnp.full((1, Rp), -1.0, jnp.float32), alive0[None]], 0)
+    rad_acc = jnp.zeros((3, Rp), jnp.float32)
+    idx = jnp.arange(Rp, dtype=jnp.int32)
+    keys_cur = ps_keys
+    if pad:
+        keys_cur = jnp.concatenate([keys_cur, keys_cur[:pad]])
+    counts = []
+    dbg = jnp.zeros((2,), jnp.float32)
+
+    # coherence re-sorts pay off only while the wavefront is large: after
+    # bounce ~3 the population is a few % and the 262k-element argsort +
+    # gathers (~8 ms on a v5e) dwarf the sweep work they save
+    sort_after = min(B - 1, 3)
+    for b in range(B):
+        u8p = rng.tagged_uniform_planes(keys_cur, b, 8)
+        state, rad_delta, d2 = bounce_call(
+            state, u8p, rr_on=b >= cfg.rr_start_bounce)
+        rad_acc = rad_acc + rad_delta
+        dbg = dbg + d2
+        alive = state[10]
+        counts.append(jnp.sum(alive))
+        if b < sort_after:
+            perm = jnp.argsort(coherence_key(state), stable=True)
+            state = state[:, perm]
+            rad_acc = rad_acc[:, perm]
+            idx = idx[perm]
+            keys_cur = keys_cur[perm]
+
+    radiance = jnp.zeros((Rp, 3), jnp.float32).at[idx].set(rad_acc.T)[:R]
     if debug_counters:
-        return radiance, cnt[:, 0, :].sum(0)   # [B] alive, [B:] sweep iters
+        return radiance, jnp.concatenate([jnp.stack(counts), dbg])
     if collect_stats:
-        return radiance, cnt[:, 0, :B].sum(0)
+        return radiance, jnp.stack(counts)
     return radiance
