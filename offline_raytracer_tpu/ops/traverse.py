@@ -213,13 +213,21 @@ def _pick_tri_hit(bvh: TriBVH, cfg: RenderConfig):
 
 
 def _sorted_tri_hit(bvh, tri_hit, cfg, ro, rd, t_far=None, any_hit=False):
+    # traversal is SEARCH-ONLY: integer winners and detached bounds; the
+    # differentiable hit comes from refine_hit's recompute. The explicit
+    # stop_gradient also keeps jax.grad from trying to linearize the
+    # Pallas kernels (which have no VJP).
+    ro = jax.lax.stop_gradient(ro)
+    rd = jax.lax.stop_gradient(rd)
+    t_far = None if t_far is None else jax.lax.stop_gradient(t_far)
     if not cfg.sort_rays:
-        return tri_hit(bvh, ro, rd, cfg.t_min, t_far, any_hit=any_hit)
+        t, slot = tri_hit(bvh, ro, rd, cfg.t_min, t_far, any_hit=any_hit)
+        return jax.lax.stop_gradient(t), slot
     order = coherence_order(bvh, ro, rd)
     inv = jnp.argsort(order)
     tf = None if t_far is None else t_far[order]
     t, slot = tri_hit(bvh, ro[order], rd[order], cfg.t_min, tf, any_hit=any_hit)
-    return t[inv], slot[inv]
+    return jax.lax.stop_gradient(t[inv]), slot[inv]
 
 
 def make_bvh_trace_fn(scene: Scene, cfg: RenderConfig):
