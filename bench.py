@@ -30,7 +30,11 @@ BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 # FLOPs; see benchmarks/profile_* for the derivation). Used only for the
 # MFU estimate printed to stderr.
 EST_FLOPS_PER_RAY = 37e3
-PEAK_FLOPS = {"tpu": 197e12}  # v5e bf16 headline; f32 VPU peak is far lower
+# This workload is f32 VPU element-wise math, so the honest denominator is
+# the VPU peak, not the 197 TFLOP/s bf16 MXU headline (ADVICE r3 #4):
+# 8x128 lanes x 4 ALUs x 2 flops/FMA x ~0.94 GHz ~= 7.7 TFLOP/s on v5e.
+PEAK_FLOPS = {"tpu": 7.7e12}
+PEAK_LABEL = "v5e f32 VPU (~7.7 TF/s est)"
 
 
 def main():
@@ -122,12 +126,14 @@ def main():
     if peak:
         mfu = mrays * 1e6 * EST_FLOPS_PER_RAY / peak
         print(f"MFU estimate: {mrays:.2f} Mrays/s x {EST_FLOPS_PER_RAY:.0f} "
-              f"FLOPs/ray / {peak:.0f} peak = {mfu*100:.2f}%", file=sys.stderr)
+              f"FLOPs/ray / {PEAK_LABEL} = {mfu*100:.2f}%", file=sys.stderr)
 
     # ---- fwd+bwd throughput (north-star metric) -------------------------
-    # gradient step w.r.t. material albedo + mesh vertices through the
-    # differentiable XLA path (the megakernel is forward-only by design)
-    gcfg = cfg.replace(traversal="cull" if not on_cpu else "jnp",
+    # gradient step w.r.t. material albedo + mesh vertices. On TPU the
+    # default "auto" route is the megakernel with path-replay backprop
+    # (replay.py): forward = one fused launch, backward = traversal-free
+    # XLA replay of the recorded hits.
+    gcfg = cfg.replace(traversal="auto" if not on_cpu else "jnp",
                        max_bounces=8)
     gids = jnp.asarray(order[: min(n_pixels, 1 << 16)])
 

@@ -38,6 +38,15 @@ class RenderConfig:
     roughness_from_material: bool = False  # use material exponent if True
     enable_nee: bool = True        # ref's NEE is #if 0 dead code; ours works
     enable_mis: bool = True
+    # Parity-measurement quirk: the reference never compensates the FINAL
+    # Russian-roulette gate of a light-terminated path (its light-hit
+    # branch skips the f/p update where the /rr division lives,
+    # ray.cpp:1358-1371 vs :1374-1404), so every indirect contribution it
+    # records is rr_p x the unbiased value. With this flag we reproduce
+    # that energy loss (multiply sampled-continuation emissive hits by
+    # rr_p) so renders are comparable to showcase/*.hdr. Default OFF: the
+    # framework's own estimator is unbiased.
+    reference_rr_quirk: bool = False
     hit_eps: float = 1e-4          # dont_get_too_close_epsilon (ray.cpp:1196)
     t_min: float = 1e-6            # Hit_t_Threshold (ray.cpp:5)
 
@@ -81,4 +90,5 @@ class RenderConfig:
 REFERENCE_SHOWCASE = RenderConfig(
     width=1280, height=720, spp=2048,
     enable_nee=False, enable_mis=False, pixel_jitter=False,
+    reference_rr_quirk=True,
 )

@@ -67,6 +67,7 @@ def trace_paths(
     ps_keys: jnp.ndarray,
     collect_stats: bool = False,
     occl_fn=None,
+    replay=None,
 ) -> jnp.ndarray:
     """Trace R paths to completion. Returns radiance (R, 3).
 
@@ -75,6 +76,16 @@ def trace_paths(
     lanes that produced a continuation segment at each bounce. This is the
     structured replacement for the reference's per-tile ``test_shape_count``
     printf (macos_main.mm:161); see utils/profiling.RenderMeter.
+
+    ``replay``: optional ``(hit_ids (B, R) int32, nee_vis (B, R) f32)``
+    records from the megakernel (ops/mega.py collect_records). When given,
+    no traversal happens at all: the per-bounce closest hit is recomputed
+    attached from the recorded winner (ops/intersect.hit_from_ids) and the
+    NEE shadow query is replaced by the recorded visibility bit. Because
+    the RNG is counter-based, every sampled direction / RR decision / light
+    point regenerates identically, so this replays the SAME paths the
+    kernel traced — differentiably (path-replay backprop; trace_fn and
+    occl_fn may be None).
     """
     R = origin.shape[0]
     state = PathState(
@@ -92,12 +103,21 @@ def trace_paths(
     do_nee = cfg.enable_nee and n_lights > 0
     do_mis = do_nee and cfg.enable_mis
 
-    def bounce(state: PathState, bounce_idx):
+    def bounce(state: PathState, xs):
+        if replay is None:
+            bounce_idx = xs
+        else:
+            bounce_idx, ids_b, vis_b = xs
         # all of this bounce's randomness in one threefry sweep:
         # [0] light pick  [1:4] light point  [4] RR  [5:8] bsdf sample
         u8 = rng.bounce_uniforms(state.keys, bounce_idx, 8)
 
-        hit = trace_fn(state.origin, state.direction)
+        if replay is None:
+            hit = trace_fn(state.origin, state.direction)
+        else:
+            from offline_raytracer_tpu.ops.intersect import hit_from_ids
+            hit = hit_from_ids(
+                scene, state.origin, state.direction, ids_b, cfg.t_min)
 
         emit = mats.emit[hit.mat]
         hit_light = mats.is_light[hit.mat] & hit.valid
@@ -129,6 +149,11 @@ def trace_paths(
                 (light_idx >= 0) & (state.prev_pdf >= 0.0) & front, 0.0, 1.0)
         else:
             mis_w = jnp.ones((R,))
+        if cfg.reference_rr_quirk and cfg.russian_roulette < 1.0:
+            # reproduce the reference's uncompensated final RR gate on
+            # light-terminated paths (config.py reference_rr_quirk)
+            mis_w = mis_w * jnp.where(
+                state.prev_pdf >= 0.0, cfg.russian_roulette, 1.0)
         add_emit = state.alive & hit_light
         radiance = state.radiance + jnp.where(
             add_emit[..., None], state.throughput * emit * sg(mis_w)[..., None], 0.0
@@ -163,7 +188,9 @@ def trace_paths(
             # shadow query: any-hit with the light distance as the t bound;
             # dead lanes launch with t_far=0 and cost nothing
             worth = alive & (cos_l > 1e-6)
-            if occl_fn is not None:
+            if replay is not None:
+                visible = vis_b > 0.5
+            elif occl_fn is not None:
                 x_sh = jnp.where(worth[..., None], x, PARK_ORIGIN)
                 tf = jnp.where(worth, dist_l * (1.0 - 1e-3), 0.0)
                 visible = ~occl_fn(x_sh, wi_l, tf)
@@ -235,8 +262,11 @@ def trace_paths(
         )
         return new_state, jnp.sum(alive.astype(jnp.float32))
 
-    state, alive_per_bounce = jax.lax.scan(
-        bounce, state, jnp.arange(cfg.max_bounces))
+    if replay is None:
+        xs = jnp.arange(cfg.max_bounces)
+    else:
+        xs = (jnp.arange(cfg.max_bounces), replay[0], replay[1])
+    state, alive_per_bounce = jax.lax.scan(bounce, state, xs)
     if collect_stats:
         return state.radiance, alive_per_bounce
     return state.radiance

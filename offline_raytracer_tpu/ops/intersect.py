@@ -272,6 +272,38 @@ def closest_hit_bruteforce(scene: Scene, ro, rd, t_min, include_triangles: bool 
     return refine_hit(scene, ro, rd, t_min, best_type, best_idx, best_t < INF)
 
 
+def hit_from_ids(scene: Scene, ro, rd, ids, t_min) -> Hit:
+    """Differentiable hit record from megakernel hit ids (replay path).
+
+    ``ids`` (R,) int32 uses the MegaMeta encoding (ops/mega.py): -1 miss,
+    [0, ns) sphere, [ns, ns+nb) box, [.., +nc) cylinder, then packed-BVH
+    triangle SLOTS (leaf*128 + lane) which map to original triangle rows
+    through ``scene.tri_bvh.tri_index``. No search happens here — the
+    winner is known, only its (t, normal, mat) are recomputed attached so
+    d(image)/d(geometry) flows (the detached-search / attached-geometry
+    split of refine_hit).
+    """
+    ns = scene.spheres.radius.shape[0]
+    nb = scene.boxes.mat.shape[0]
+    nc = scene.cylinders.radius.shape[0]
+    valid = ids >= 0
+    i = jnp.maximum(ids, 0)
+    prim_type = jnp.where(
+        i < ns, SPHERE,
+        jnp.where(i < ns + nb, BOX,
+                  jnp.where(i < ns + nb + nc, CYLINDER, TRIANGLE)))
+    prim_idx = jnp.where(
+        i < ns, i,
+        jnp.where(i < ns + nb, i - ns,
+                  jnp.where(i < ns + nb + nc, i - ns - nb, 0)))
+    if scene.triangles.mat.shape[0] and scene.tri_bvh is not None:
+        slot = jnp.clip(i - (ns + nb + nc), 0,
+                        scene.tri_bvh.tri_index.shape[0] - 1)
+        tri = jnp.maximum(scene.tri_bvh.tri_index[slot], 0)
+        prim_idx = jnp.where(prim_type == TRIANGLE, tri, prim_idx)
+    return refine_hit(scene, ro, rd, t_min, prim_type, prim_idx, valid)
+
+
 def refine_hit(scene: Scene, ro, rd, t_min, prim_type, prim_idx, valid) -> Hit:
     """Differentiable recompute of (t, normal, mat) for known winners.
 

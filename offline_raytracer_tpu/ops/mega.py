@@ -8,21 +8,28 @@ module is the TPU answer at the same altitude as the reference: one
 pallas_call whose grid walks (SUB, 128)-ray blocks, and for each block the
 ENTIRE path trace — every bounce — runs with ray state resident in VMEM:
 
-- analytic primitives (spheres, boxes): dense branch-free plane math,
-  prim parameters read as SMEM scalars (ray.cpp:132-283 physics);
+- analytic primitives (spheres, boxes, cylinders): dense branch-free
+  plane math, prim parameters read as SMEM scalars (ray.cpp:132-352
+  physics);
 - triangles: per-128-ray-row leaf cull against the packed LBVH's leaf
   AABBs (leaves on the sublane axis) + the affine-barycentric 128-tri
   sweep of ops/bvh.py, with winner normal/material gathered in-sweep by
   masked lane reduction — no refine pass, no gathers, no ray sorts;
-- emissive accumulation with MIS, NEE against sphere lights with an
-  in-kernel any-hit shadow traversal, Russian roulette, and the 3-lobe
-  BSDF (ops/bsdf.py physics) — all as (SUB, 128) vector-plane ops;
+- emissive accumulation with MIS, NEE against ANY light kind (the light
+  point/normal/emit/pdf are sampled outside by ops/lights.sample_lights
+  and ride in as input planes) with an in-kernel any-hit shadow
+  traversal, Russian roulette, and the 3-lobe BSDF (ops/bsdf.py
+  physics) — all as (SUB, 128) vector-plane ops;
 - per-bounce uniforms are precomputed OUTSIDE with the exact threefry
   draws of the jnp integrator (utils/rng.bounce_uniforms), so results are
-  sharding-invariant and directly comparable against integrator.py.
+  sharding-invariant and directly comparable against integrator.py;
+- per-bounce hit RECORDS (winning prim id + NEE visibility) are emitted
+  so gradients flow through a traversal-free differentiable replay
+  (replay.py + integrator.trace_paths(replay=...)) — path-replay
+  backprop in the detached-discontinuity regime.
 
-Scenes it cannot host (cylinder prims, cylinder/mesh lights, BVH beyond
-VMEM) fall back to the cull/packet paths (ops/traverse.py dispatch).
+Scenes it cannot host (BVH beyond VMEM, >128 of any prim table) fall
+back to the cull/packet paths (ops/traverse.py dispatch).
 """
 
 from __future__ import annotations
@@ -48,37 +55,40 @@ PARK = 1e8  # parked-lane origin (integrator.PARK_ORIGIN)
 # consts row layout (built by pack_consts; offsets in MegaMeta)
 N_SPH_ROWS = 5    # cx cy cz r mat
 N_BOX_ROWS = 7    # x0 y0 z0 x1 y1 z1 mat
+N_CYL_ROWS = 15   # bx by bz r h rot(9, row-major world->local) mat
 N_MAT_ROWS = 18   # kd3 ks3 kt3 ior emit3 is_light to_light rough pd_c ps_c
-N_LGT_ROWS = 9    # cx cy cz r inv_areaL emit3 pad
+N_LGT_ROWS = 1    # inv_areaL = 1/(area * n_lights), any light kind
 
 
 class MegaMeta:
     """Static (trace-time) layout info for the consts array."""
 
-    def __init__(self, ns, nb, nm, nl):
-        self.ns, self.nb, self.nm, self.nl = ns, nb, nm, nl
+    def __init__(self, ns, nb, nc, nm, nl):
+        self.ns, self.nb, self.nc, self.nm, self.nl = ns, nb, nc, nm, nl
         self.SPH = 0
         self.BOX = self.SPH + N_SPH_ROWS
-        self.MAT = self.BOX + N_BOX_ROWS
+        self.CYL = self.BOX + N_BOX_ROWS
+        self.MAT = self.CYL + N_CYL_ROWS
         self.LGT = self.MAT + N_MAT_ROWS
         self.rows = self.LGT + N_LGT_ROWS
+        # hit-record id encoding (ops/intersect.hit_from_ids decodes):
+        # [0, ns) sphere, [ns, ns+nb) box, [.., +nc) cylinder, then BVH
+        # triangle SLOTS (leaf*128 + lane); -1 = miss
+        self.tri_base = ns + nb + nc
 
 
 def mega_ok(scene, cfg) -> bool:
     """Can the megakernel host this scene?  Static-shape checks only."""
     from offline_raytracer_tpu.ops import traverse_cull as tc
 
-    if scene.cylinders.radius.shape[0] > 0:
-        return False
     if scene.materials.ior.shape[0] > LANE:
         return False
-    if scene.spheres.radius.shape[0] > LANE or scene.boxes.mat.shape[0] > LANE:
+    if (scene.spheres.radius.shape[0] > LANE
+            or scene.boxes.mat.shape[0] > LANE
+            or scene.cylinders.radius.shape[0] > LANE):
         return False
-    lights = scene.lights
-    if lights.kind.shape[0] > LANE or lights.em_cdf.shape[0] > 0:
-        return False  # mesh/box lights: not yet in-kernel
-    # with cylinders gated out and mesh lights gated out, every remaining
-    # light table entry is a sphere (scene/build.py registration rules)
+    if scene.lights.kind.shape[0] > LANE:
+        return False
     bvh = scene.tri_bvh
     if scene.triangles.mat.shape[0] > 0:
         if bvh is None or not (tc.cull_ok(bvh) and tc.fits_vmem(bvh)):
@@ -93,13 +103,15 @@ def _row(x, fill=0.0):
 
 def pack_consts(scene, cfg):
     """Scene tables -> ((rows, 128) f32 consts, MegaMeta). jnp-traceable."""
-    sph, box, mats, lights = (
-        scene.spheres, scene.boxes, scene.materials, scene.lights)
+    sph, box, cyl, mats, lights = (
+        scene.spheres, scene.boxes, scene.cylinders, scene.materials,
+        scene.lights)
     ns = sph.radius.shape[0]
     nb = box.mat.shape[0]
+    nc = cyl.radius.shape[0]
     nm = mats.ior.shape[0]
     nl = lights.kind.shape[0]
-    meta = MegaMeta(ns, nb, nm, nl)
+    meta = MegaMeta(ns, nb, nc, nm, nl)
 
     rows = []
     # spheres (pad center far away so pad lanes never hit)
@@ -111,6 +123,16 @@ def pack_consts(scene, cfg):
              _row(box.bmin[:, 2], INF), _row(box.bmax[:, 0], -INF),
              _row(box.bmax[:, 1], -INF), _row(box.bmax[:, 2], -INF),
              _row(box.mat, 0.0)]
+    # cylinders (base, radius, height, world->local rotation rows;
+    # reference physics ray.cpp:286-352, ops/intersect.cylinder_hit_one)
+    rows += [_row(cyl.base[:, 0], PARK), _row(cyl.base[:, 1], PARK),
+             _row(cyl.base[:, 2], PARK), _row(cyl.radius, 0.0),
+             _row(jnp.linalg.norm(cyl.axis, axis=-1) if nc else cyl.radius,
+                  0.0)]
+    for i in range(3):
+        for j in range(3):
+            rows += [_row(cyl.rot[:, i, j], 1.0 if i == j else 0.0)]
+    rows += [_row(cyl.mat, 0.0)]
     # materials
     if cfg.roughness_from_material:
         rough = jnp.sqrt(2.0 / (mats.spec_exp + 2.0))
@@ -128,15 +150,13 @@ def pack_consts(scene, cfg):
     rows += [_row(mats.is_light.astype(jnp.float32)),
              _row(scene.mat_to_light, -1.0), _row(rough, 1.0),
              _row(ld / s), _row(ls / s)]
-    # lights (sphere kind only — enforced by mega_ok + pack-time assert)
+    # lights: only the area pdf is needed in-kernel (for the MIS weight on
+    # emissive BSDF hits); NEE sample points/normals/emit arrive as input
+    # planes computed by ops/lights.sample_lights outside the kernel —
+    # which is what makes every light KIND (sphere/cylinder/mesh/box)
+    # kernel-hostable.
     if nl:
-        inv_area_l = 1.0 / (jnp.maximum(lights.area, 1e-12) * nl)
-        rows += [_row(lights.p0[:, 0]), _row(lights.p0[:, 1]),
-                 _row(lights.p0[:, 2]), _row(lights.radius, 1.0),
-                 _row(inv_area_l),
-                 _row(mats.emit[lights.mat, 0]),
-                 _row(mats.emit[lights.mat, 1]),
-                 _row(mats.emit[lights.mat, 2]), _row(jnp.zeros(1))]
+        rows += [_row(1.0 / (jnp.maximum(lights.area, 1e-12) * nl))]
     else:
         rows += [jnp.zeros((LANE,), jnp.float32)] * N_LGT_ROWS
     return jnp.stack(rows), meta
@@ -247,7 +267,8 @@ def eval_bsdf_pl(n, wi, wo, mp, distance):
     denom_s = 4.0 * jnp.maximum(jnp.abs(n_dot_wi) * jnp.abs(n_dot_wo), 1e-6)
     spec_scale = d_spec * g_spec / denom_s
     ks2 = vdot(mp["ks"], mp["ks"])
-    has_spec = (ks2 > 0.0) & (wi_dot_h > 0.0) & same_side
+    h_faces_wi = wi_dot_h * sgn_wi > 0.0   # side-consistent (ops/bsdf.py)
+    has_spec = (ks2 > 0.0) & h_faces_wi & same_side
     es = tuple(jnp.where(has_spec, f * spec_scale, 0.0) for f in f_spec)
 
     eta_wo, eta_wi = _etas(n_dot_wo, mp["ior"])
@@ -257,7 +278,6 @@ def eval_bsdf_pl(n, wi, wo, mp, distance):
     wo_dot_m = vdot(wo, m)
     wi_dot_m = vdot(wi, m)
     eta = eta_wo / eta_wi
-    radicand = 1.0 - eta * eta * (1.0 - wo_dot_m * wo_dot_m)
 
     inside = n_dot_wo < 0.0
     att = tuple(
@@ -276,13 +296,15 @@ def eval_bsdf_pl(n, wi, wo, mp, distance):
     t_scale = num_t / denom_t
     et_refract = tuple(
         jnp.where(~same_side, (1.0 - f) * t_scale, 0.0) for f in f_t)
-    es_tir_on = same_side & (wi_dot_h > 0.0)
+    # TIR classified at the REFLECTION half vector h (ops/bsdf.py)
+    wo_dot_h = vdot(wo, h)
+    radicand_h = 1.0 - eta * eta * (1.0 - wo_dot_h * wo_dot_h)
+    es_tir_on = same_side & (radicand_h < 0.0) & h_faces_wi
     es_tir = tuple(jnp.where(es_tir_on, f * spec_scale, 0.0) for f in f_spec)
-    tir = radicand < 0.0
     kt2 = vdot(mp["kt"], mp["kt"])
     has_trans = kt2 > 0.0
     et = tuple(
-        jnp.where(has_trans, a * jnp.where(tir, ei, er), 0.0)
+        jnp.where(has_trans, a * jnp.where(same_side, ei, er), 0.0)
         for a, ei, er in zip(att, es_tir, et_refract))
 
     aw = jnp.abs(n_dot_wi)
@@ -312,13 +334,16 @@ def pdf_bsdf_pl(n, wi, wo, mp):
     wo_dot_m = vdot(wo, m)
     wi_dot_m = vdot(wi, m)
     eta = eta_wo / eta_wi
-    radicand = 1.0 - eta * eta * (1.0 - wo_dot_m * wo_dot_m)
     d_t = _ggx_d(vdot(n, m), mp["rough"])
     jac_denom = jnp.maximum((eta_wo * wo_dot_m + eta_wi * wi_dot_m) ** 2, 1e-9)
     pt_refract = (d_t * jnp.abs(vdot(n, m)) * eta_wi * eta_wi
                   * jnp.abs(wi_dot_m) / jac_denom)
     pt_refract = jnp.where(same_side, 0.0, pt_refract)
-    pt = jnp.where(radicand < 0.0, ps, pt_refract)
+    # TIR pairs: specular-shaped density at h (ops/bsdf.py pdf_bsdf)
+    wo_dot_h = vdot(wo, h)
+    radicand_h = 1.0 - eta * eta * (1.0 - wo_dot_h * wo_dot_h)
+    pt = jnp.where(same_side, jnp.where(radicand_h < 0.0, ps, 0.0),
+                   pt_refract)
     return pd_c * pd + ps_c * ps + pt_c * pt
 
 
@@ -361,8 +386,9 @@ def sample_bsdf_pl(e0, e1, choice, n, wo, mp):
     radicand = 1.0 - eta * eta * (1.0 - wo_dot_m * wo_dot_m)
     tir = radicand < 0.0
     sq = jnp.sqrt(jnp.clip(radicand, 0.0, 1.0))
-    wi_refract = vsub(
-        vscale(eta * wo_dot_m - jnp.sign(n_dot_wo) * sq, m), vscale(eta, wo))
+    # m faces wo (sampled around n_face) => transmitted side is -m: -sq,
+    # NOT the reference's -sign(wo.N)*sq unflipped-m form (ops/bsdf.py)
+    wi_refract = vsub(vscale(eta * wo_dot_m - sq, m), vscale(eta, wo))
     wi_trans = vwhere(tir, wi_spec, wi_refract)
 
     pick_d = choice < pd_c
@@ -378,25 +404,33 @@ def sample_bsdf_pl(e0, e1, choice, n, wo, mp):
 
 
 def _mega_kernel(
-    rays_ref, u_ref, planes_ref, matp_ref, leaf_ref, consts_ref,
+    rays_ref, u_ref, ls_ref, planes_ref, matp_ref, leaf_ref, consts_ref,
     out_ref, rad_ref, cnt_ref,
-    st, hv, hm, sh, kf,
+    st, hv, hm, hi, sh, kf,
     *, meta: MegaMeta, L: int, m_occ: int, has_tris: bool,
     t_min: float, hit_eps: float,
     rr_p: float, rr_on: bool, do_nee: bool, do_mis: bool,
+    ref_rr_quirk: bool = False,
     debug_counters: bool = False, interpret_exact: bool = False,
 ):
     """ONE bounce for one (SUB, 128)-ray block.
 
     State planes in/out: [0:3] origin, [3:6] direction, [6:9] throughput,
-    [9] prev_pdf, [10] alive. rad_ref gets this bounce's radiance DELTA.
-    The host wrapper loops bounces with wavefront compaction in between
-    (dead lanes partitioned to tail blocks, which skip everything here).
+    [9] prev_pdf, [10] alive. rad_ref gets this bounce's radiance DELTA
+    in planes [0:3] plus the bounce's hit RECORD: [3] = winning prim id
+    (MegaMeta encoding, -1 miss; exact in f32 below 2^24) and [4] = NEE
+    shadow visibility — the residuals the differentiable replay pass
+    (integrator.trace_paths(replay=...)) consumes. ls_ref carries the
+    bounce's NEE light samples (point, normal, emit, area pdf) computed
+    outside by ops/lights.sample_lights from the same threefry draws the
+    XLA integrator uses. The host wrapper loops bounces with wavefront
+    compaction in between (dead lanes partitioned to tail blocks, which
+    skip everything here).
     """
     f0 = jnp.zeros((SUB, LANE), jnp.float32)
     i0 = jnp.zeros((SUB, LANE), jnp.int32)
 
-    def sphere_consider(j, o, d, bt, bn, bm):
+    def sphere_consider(j, o, d, bt, bn, bm, bi):
         cx = consts_ref[meta.SPH + 0, j]
         cy = consts_ref[meta.SPH + 1, j]
         cz = consts_ref[meta.SPH + 2, j]
@@ -412,9 +446,9 @@ def _mega_kernel(
         ok = (disc > 0.0) & (t >= t_min) & (t < bt)
         n = vadd(rel, vscale(t, d))
         return (jnp.where(ok, t, bt), vwhere(ok, n, bn),
-                jnp.where(ok, mt, bm))
+                jnp.where(ok, mt, bm), jnp.where(ok, j, bi))
 
-    def box_consider(j, o, d, bt, bn, bm):
+    def box_consider(j, o, d, bt, bn, bm, bi):
         x0 = consts_ref[meta.BOX + 0, j]
         y0 = consts_ref[meta.BOX + 1, j]
         z0 = consts_ref[meta.BOX + 2, j]
@@ -446,30 +480,90 @@ def _mega_kernel(
              jnp.where(w1, flip * jnp.sign(d[1]), 0.0),
              jnp.where(w2, flip * jnp.sign(d[2]), 0.0))
         return (jnp.where(ok, t, bt), vwhere(ok, n, bn),
-                jnp.where(ok, mt, bm))
+                jnp.where(ok, mt, bm), jnp.where(ok, meta.ns + j, bi))
+
+    def cylinder_consider(j, o, d, bt, bn, bm, bi):
+        """Finite cylinder: rotate-to-axis + slab ∩ infinite cylinder
+        (ray.cpp:286-352 physics; matches ops/intersect.cylinder_hit_one
+        incl. the fixed cap normals)."""
+        bx = consts_ref[meta.CYL + 0, j]
+        by = consts_ref[meta.CYL + 1, j]
+        bz = consts_ref[meta.CYL + 2, j]
+        r = consts_ref[meta.CYL + 3, j]
+        h = consts_ref[meta.CYL + 4, j]
+        rr_ = [consts_ref[meta.CYL + 5 + k, j] for k in range(9)]
+        mt = consts_ref[meta.CYL + 14, j].astype(jnp.int32)
+        rel = (o[0] - bx, o[1] - by, o[2] - bz)
+        # local frame: axis -> +Z (rot is world->local, row-major)
+        ox = rr_[0] * rel[0] + rr_[1] * rel[1] + rr_[2] * rel[2]
+        oy = rr_[3] * rel[0] + rr_[4] * rel[1] + rr_[5] * rel[2]
+        oz = rr_[6] * rel[0] + rr_[7] * rel[1] + rr_[8] * rel[2]
+        dx = rr_[0] * d[0] + rr_[1] * d[1] + rr_[2] * d[2]
+        dy = rr_[3] * d[0] + rr_[4] * d[1] + rr_[5] * d[2]
+        dz = rr_[6] * d[0] + rr_[7] * d[1] + rr_[8] * d[2]
+        dz_s = jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+        t_bot = -oz / dz_s
+        t_top = (h - oz) / dz_s
+        t_slab_min = jnp.minimum(t_bot, t_top)
+        t_slab_max = jnp.maximum(t_bot, t_top)
+        a = dx * dx + dy * dy
+        b = dx * ox + dy * oy
+        c = ox * ox + oy * oy - r * r
+        disc = b * b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        a_ok = a > 1e-12
+        safe_a = jnp.where(a_ok, a, 1.0)
+        t_cyl_min = jnp.where(a_ok, (-b - sq) / safe_a, -INF)
+        t_cyl_max = jnp.where(a_ok, (-b + sq) / safe_a, INF)
+        t_en = jnp.maximum(t_slab_min, t_cyl_min)
+        t_ex = jnp.minimum(t_slab_max, t_cyl_max)
+        inner = t_en < t_min
+        t = jnp.where(inner, t_ex, t_en)
+        ok = ((disc >= 0.0) & (t_ex >= jnp.maximum(t_en, t_min))
+              & (t >= t_min) & (t < bt))
+        cap_win = (inner & (t_slab_max < t_cyl_max)) | (
+            (~inner) & (t_slab_min > t_cyl_min))
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        cap_z = jnp.where(pz > 0.5 * h, 1.0, -1.0)
+        nlx = jnp.where(cap_win, 0.0, px)
+        nly = jnp.where(cap_win, 0.0, py)
+        nlz = jnp.where(cap_win, cap_z, 0.0)
+        # world normal = rot^T @ local
+        n = (rr_[0] * nlx + rr_[3] * nly + rr_[6] * nlz,
+             rr_[1] * nlx + rr_[4] * nly + rr_[7] * nlz,
+             rr_[2] * nlx + rr_[5] * nly + rr_[8] * nlz)
+        return (jnp.where(ok, t, bt), vwhere(ok, n, bn),
+                jnp.where(ok, mt, bm),
+                jnp.where(ok, meta.ns + meta.nb + j, bi))
 
     def analytic_closest(o, d):
         bt = f0 + INF
         bn = (f0, f0, f0 + 1.0)
         bm = i0
+        bi = i0 - 1
         for j in range(meta.ns):
-            bt, bn, bm = sphere_consider(j, o, d, bt, bn, bm)
+            bt, bn, bm, bi = sphere_consider(j, o, d, bt, bn, bm, bi)
         for j in range(meta.nb):
-            bt, bn, bm = box_consider(j, o, d, bt, bn, bm)
-        return bt, bn, bm
+            bt, bn, bm, bi = box_consider(j, o, d, bt, bn, bm, bi)
+        for j in range(meta.nc):
+            bt, bn, bm, bi = cylinder_consider(j, o, d, bt, bn, bm, bi)
+        return bt, bn, bm, bi
 
     def analytic_occluded(o, d, tf):
         occ = f0 > 1.0  # all-false bool plane
-        bt = f0 + INF
         bn = (f0, f0, f0)
         bm = i0
         for j in range(meta.ns):
-            t2, _, _ = sphere_consider(j, o, d, f0 + INF, bn, bm)
+            t2, _, _, _ = sphere_consider(j, o, d, f0 + INF, bn, bm, i0)
             occ = occ | (t2 < tf)
         for j in range(meta.nb):
-            t2, _, _ = box_consider(j, o, d, f0 + INF, bn, bm)
+            t2, _, _, _ = box_consider(j, o, d, f0 + INF, bn, bm, i0)
             occ = occ | (t2 < tf)
-        del bt
+        for j in range(meta.nc):
+            t2, _, _, _ = cylinder_consider(j, o, d, f0 + INF, bn, bm, i0)
+            occ = occ | (t2 < tf)
         return occ
 
     iota_L = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
@@ -556,7 +650,7 @@ def _mega_kernel(
                 mn, it, bt = c[0], c[1], c[2]
                 return mn < jnp.max(bt)
 
-            def visit(leaf, guard, bt, bnx, bny, bnz, bm):
+            def visit(leaf, guard, bt, bnx, bny, bnz, bm, bid):
                 bound = jnp.where(guard, bt, 0.0)
                 t, coeff = leaf_sweep(
                     leaf, rox, roy, roz, rdx, rdy, rdz, bound)
@@ -575,36 +669,42 @@ def _mega_kernel(
                     nzv = jnp.sum(jnp.where(msk, nrow(10), 0.0), -1)
                     mrow = matp_ref[leaf, :][None, None, :]
                     mv = jnp.sum(jnp.where(msk, mrow, 0), -1)
+                    # hit record: BVH slot id = tri_base + leaf*128 + lane
+                    idv = meta.tri_base + leaf * LANE + lane
                     return (jnp.where(better, tmin, bt),
                             jnp.where(better, nxv, bnx),
                             jnp.where(better, nyv, bny),
                             jnp.where(better, nzv, bnz),
-                            jnp.where(better, mv, bm))
+                            jnp.where(better, mv, bm),
+                            jnp.where(better, idv, bid))
 
                 return jax.lax.cond(
                     jnp.any(better), with_attrs,
-                    lambda _: (bt, bnx, bny, bnz, bm), None)
+                    lambda _: (bt, bnx, bny, bnz, bm, bid), None)
 
             def body(c):
                 # visit TWO leaves per iteration: the while handshake and
                 # the (L,1) key reductions are a large fixed cost per trip
-                mn, it, bt, bnx, bny, bnz, bm = c
+                mn, it, bt, bnx, bny, bnz, bm, bid = c
                 leaf_a = _pick_leaf(mn)
                 kf[pl.ds(leaf_a, 1), :] = jnp.full((1, 1), INF, jnp.float32)
                 mn_b = jnp.min(kf[:, :])
                 leaf_b = jnp.minimum(_pick_leaf(mn_b), L - 1)
                 kf[pl.ds(leaf_b, 1), :] = jnp.full((1, 1), INF, jnp.float32)
 
-                bt, bnx, bny, bnz, bm = visit(
-                    leaf_a, True, bt, bnx, bny, bnz, bm)
-                bt, bnx, bny, bnz, bm = visit(
-                    leaf_b, mn_b < jnp.max(bt), bt, bnx, bny, bnz, bm)
-                return (jnp.min(kf[:, :]), it + 2.0, bt, bnx, bny, bnz, bm)
+                bt, bnx, bny, bnz, bm, bid = visit(
+                    leaf_a, True, bt, bnx, bny, bnz, bm, bid)
+                bt, bnx, bny, bnz, bm, bid = visit(
+                    leaf_b, mn_b < jnp.max(bt), bt, bnx, bny, bnz, bm, bid)
+                return (jnp.min(kf[:, :]), it + 2.0, bt, bnx, bny, bnz, bm,
+                        bid)
 
             init = (jnp.min(kf[:, :]), jnp.float32(0.0), bt0,
                     hv[1, pl.ds(r, 1), :], hv[2, pl.ds(r, 1), :],
-                    hv[3, pl.ds(r, 1), :], hm[pl.ds(r, 1), :])
-            _, it, bt, bnx, bny, bnz, bm = jax.lax.while_loop(cond, body, init)
+                    hv[3, pl.ds(r, 1), :], hm[pl.ds(r, 1), :],
+                    hi[pl.ds(r, 1), :])
+            _, it, bt, bnx, bny, bnz, bm, bid = jax.lax.while_loop(
+                cond, body, init)
             if debug_counters:   # CPU-interpret profiling only: the SMEM
                 # accumulation stalls the Mosaic compile on real TPUs
                 cnt_ref[0, 0, 0] += it
@@ -613,6 +713,7 @@ def _mega_kernel(
             hv[2, pl.ds(r, 1), :] = bny
             hv[3, pl.ds(r, 1), :] = bnz
             hm[pl.ds(r, 1), :] = bm
+            hi[pl.ds(r, 1), :] = bid
             return 0
 
         jax.lax.fori_loop(0, SUB, row_fn, 0)
@@ -683,25 +784,6 @@ def _mega_kernel(
             acc[name] = tuple(acc[name])
         return acc
 
-    def sample_sphere_lights(up, ua, ub):
-        """Uniform light pick + uniform point on the sphere surface
-        (ops/lights.py sample_lights, sphere branch)."""
-        nl = meta.nl
-        lidx = jnp.minimum((up * nl).astype(jnp.int32), nl - 1)
-        z = 1.0 - 2.0 * ua
-        phi = 2.0 * PI * ub
-        s = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
-        nsp = (s * jnp.cos(phi), s * jnp.sin(phi), z)
-        cx = cy = cz = r = inv_l = e0 = e1 = e2 = f0
-        for l in range(nl):
-            sel = lidx == l
-            gl = lambda off: jnp.where(sel, consts_ref[meta.LGT + off, l], 0.0)
-            cx, cy, cz = cx + gl(0), cy + gl(1), cz + gl(2)
-            r, inv_l = r + gl(3), inv_l + gl(4)
-            e0, e1, e2 = e0 + gl(5), e1 + gl(6), e2 + gl(7)
-        p = (cx + r * nsp[0], cy + r * nsp[1], cz + r * nsp[2])
-        return p, nsp, (e0, e1, e2), inv_l
-
     def bounce_body():
         def u_at(j):
             return u_ref[0, j]
@@ -714,9 +796,10 @@ def _mega_kernel(
         alive = st[13] > 0.5
 
         # ---- closest hit: analytic (vector) then triangles (rows)
-        bt, bn, bm = analytic_closest(o, d)
+        bt, bn, bm, bi = analytic_closest(o, d)
         hv[0], hv[1], hv[2], hv[3] = bt, bn[0], bn[1], bn[2]
         hm[:, :] = bm
+        hi[:, :] = bi
         if has_tris:
             tri_closest_rows()
         t = hv[0]
@@ -734,7 +817,7 @@ def _mega_kernel(
             inv_l_hit = f0
             for l in range(meta.nl):
                 inv_l_hit = inv_l_hit + jnp.where(
-                    mp["tol"] == float(l), consts_ref[meta.LGT + 4, l], 0.0)
+                    mp["tol"] == float(l), consts_ref[meta.LGT + 0, l], 0.0)
             cos_l = vdot(n, vneg(d))
             p_nee = inv_l_hit * t * t / jnp.maximum(jnp.abs(cos_l), 1e-6)
             p_nee = jnp.where(valid, p_nee, 0.0)
@@ -751,6 +834,9 @@ def _mega_kernel(
                 (mp["tol"] >= 0.0) & (prev_pdf >= 0.0) & front, 0.0, 1.0)
         else:
             mis_w = f0 + 1.0
+        if ref_rr_quirk and rr_p < 1.0:
+            # reference's uncompensated final RR gate (config.py)
+            mis_w = mis_w * jnp.where(prev_pdf >= 0.0, rr_p, 1.0)
         add_emit = alive & hit_light
         rad = tuple(
             rk + jnp.where(add_emit, tk * ek * mis_w, 0.0)
@@ -765,15 +851,21 @@ def _mega_kernel(
         wo = vneg(d)
         seg_len = jnp.where(valid, t, 0.0)
 
-        # ---- next-event estimation (sphere lights)
+        # ---- next-event estimation: the light (point, normal, emit, area
+        # pdf) arrives precomputed in ls_ref (any light kind — sphere,
+        # cylinder, mesh, box); the kernel adds the geometry coupling and
+        # the in-kernel any-hit shadow walk.
+        vis_out = f0 + 1.0
         if do_nee:
-            lp, ln, lemit, inv_area = sample_sphere_lights(
-                u_at(0), u_at(1), u_at(2))
+            lp = (ls_ref[0, 0], ls_ref[0, 1], ls_ref[0, 2])
+            ln = (ls_ref[0, 3], ls_ref[0, 4], ls_ref[0, 5])
+            lemit = (ls_ref[0, 6], ls_ref[0, 7], ls_ref[0, 8])
+            pdf_area = ls_ref[0, 9]
             to_l = vsub(lp, x)
             dist = jnp.sqrt(jnp.maximum(vdot(to_l, to_l), 1e-18))
             wi_l = vscale(1.0 / dist, to_l)
             cos_l2 = vdot(ln, vneg(wi_l))
-            p_nee_solid = inv_area * dist * dist / jnp.maximum(
+            p_nee_solid = pdf_area * dist * dist / jnp.maximum(
                 jnp.abs(cos_l2), 1e-6)
             worth = alive & (cos_l2 > 1e-6)
             xs = vwhere(worth, x, (f0 + PARK, f0 + PARK, f0 + PARK))
@@ -786,6 +878,7 @@ def _mega_kernel(
             if has_tris:
                 tri_shadow_rows()
             visible = sh[7] < 0.5
+            vis_out = visible.astype(jnp.float32)
             f_l = eval_bsdf_pl(n, wi_l, wo, mp, seg_len)
             if do_mis:
                 p_b = pdf_bsdf_pl(n, wi_l, wo, mp)
@@ -793,11 +886,10 @@ def _mega_kernel(
             else:
                 w_l = f0 + 1.0
             good = alive & visible & (cos_l2 > 1e-6) & (p_nee_solid > 1e-9)
-            # estimator: tp * f * emit * cos/d^2 / pdf_area, with pdf_area
-            # = inv_area = 1/(area*L) (the 1/L pick folded in) — the same
+            # estimator: tp * f * emit * cos/d^2 / pdf_area — the same
             # attached-geometry split as integrator.py
             geom = cos_l2 / jnp.maximum(dist * dist, 1e-12)
-            scale = geom * w_l / jnp.maximum(inv_area, 1e-12)
+            scale = geom * w_l / jnp.maximum(pdf_area, 1e-12)
             rad = tuple(
                 rk + jnp.where(good, tk * fk * ek * scale, 0.0)
                 for rk, tk, fk, ek in zip(rad, tp, f_l, lemit))
@@ -831,6 +923,10 @@ def _mega_kernel(
         st[9], st[10], st[11] = rad
         st[12] = jnp.where(alive, pdf, -1.0)
         st[13] = alive.astype(jnp.float32)
+        # hit records for the differentiable replay (id exact in f32: slot
+        # ids stay far below 2^24)
+        rad_ref[0, 3] = hi[:, :].astype(jnp.float32)
+        rad_ref[0, 4] = vis_out
 
     # defaults: state copies through and radiance delta is zero — a block
     # whose lanes are all dead (compaction tail) does no work at all
@@ -838,9 +934,10 @@ def _mega_kernel(
         out_ref[0, k] = rays_ref[0, k]
     for k in range(3):
         rad_ref[0, k] = f0
-    if debug_counters:
-        cnt_ref[0, 0, 0] = 0.0
-        cnt_ref[0, 0, 1] = 0.0
+    rad_ref[0, 3] = f0 - 1.0   # miss record
+    rad_ref[0, 4] = f0
+    cnt_ref[0, 0, 0] = 0.0
+    cnt_ref[0, 0, 1] = 0.0
 
     @pl.when(jnp.sum(rays_ref[0, 10]) > 0.0)
     def _():
@@ -867,12 +964,17 @@ def _mega_kernel(
 
 
 def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
-                      interpret=False, debug_counters=False):
+                      interpret=False, debug_counters=False,
+                      collect_records=False):
     """Trace R paths start-to-finish in one fused kernel launch.
 
     Same contract as integrator.trace_paths: returns radiance (R, 3), or
     (radiance, alive_per_bounce (max_bounces,)) with ``collect_stats``.
-    Forward-only (no VJP) — gradient renders use the XLA paths.
+    With ``collect_records`` returns (radiance, hit_ids (B, R) int32,
+    nee_vis (B, R) f32) — the per-bounce discrete decisions that let
+    integrator.trace_paths(replay=...) recompute the same estimate
+    differentiably without any traversal (see replay.py). The kernel
+    launch itself has no VJP; gradients come from the replay.
     """
     from offline_raytracer_tpu.utils import rng
 
@@ -910,18 +1012,31 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
 
     do_nee = cfg.enable_nee and meta.nl > 0
 
-    def bounce_call(state, u8p, rr_on):
-        """state: (11, Rp); u8p: (8, Rp) planes -> (state', rad_delta, dbg)."""
+    def light_sample_planes(u8p):
+        """(10, Rp) NEE sample planes from the bounce uniforms — the same
+        ops/lights.sample_lights draws as integrator.py, any light kind."""
+        if not do_nee:
+            return jnp.zeros((10, Rp), jnp.float32)
+        from offline_raytracer_tpu.ops.lights import sample_lights
+        ls = sample_lights(u8p[0:4].T, scene.lights, scene.materials.emit)
+        return jnp.concatenate(
+            [ls.p.T, ls.normal.T, ls.emit.T, ls.pdf_area[None]], 0)
+
+    def bounce_call(state, u8p, lsp, rr_on):
+        """state: (11, Rp); u8p: (8, Rp); lsp: (10, Rp) planes
+        -> (state', rad_delta+records, dbg)."""
         kernel = functools.partial(
             _mega_kernel, meta=meta, L=L, m_occ=m_occ, has_tris=has_tris,
             t_min=float(cfg.t_min), hit_eps=float(cfg.hit_eps),
             rr_p=float(cfg.russian_roulette), rr_on=rr_on,
             do_nee=do_nee, do_mis=do_nee and cfg.enable_mis,
+            ref_rr_quirk=cfg.reference_rr_quirk,
             debug_counters=debug_counters, interpret_exact=interpret)
         full4 = lambda shp: pl.BlockSpec(
             shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)
         st_in = state.reshape(11, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
         u_in = u8p.reshape(8, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
+        ls_in = lsp.reshape(10, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
         out, rad, cnt = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
@@ -929,6 +1044,8 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
                 pl.BlockSpec((1, 11, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8, SUB, LANE), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 10, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 full4(planes.shape),
                 full4(matp.shape),
@@ -939,27 +1056,28 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
             out_specs=[
                 pl.BlockSpec((1, 11, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, 5, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_blocks, 11, SUB, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((n_blocks, 3, SUB, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, 5, SUB, LANE), jnp.float32),
                 jax.ShapeDtypeStruct((n_blocks, 1, 2), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((14, SUB, LANE), jnp.float32),
                 pltpu.VMEM((4, SUB, LANE), jnp.float32),
                 pltpu.VMEM((SUB, LANE), jnp.int32),
+                pltpu.VMEM((SUB, LANE), jnp.int32),
                 pltpu.VMEM((8, SUB, LANE), jnp.float32),
                 pltpu.VMEM((L, 1), jnp.float32),
             ],
             interpret=interpret,
-        )(st_in, u_in, planes, matp, leaf_cols, consts)
+        )(st_in, u_in, ls_in, planes, matp, leaf_cols, consts)
         return (out.transpose(1, 0, 2, 3).reshape(11, Rp),
-                rad.transpose(1, 0, 2, 3).reshape(3, Rp),
+                rad.transpose(1, 0, 2, 3).reshape(5, Rp),
                 cnt[:, 0, :].sum(0))
 
     # world AABB (from the leaf bounds; pads are inverted so min/max skip
@@ -1012,8 +1130,13 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
     idx = jnp.arange(Rp, dtype=jnp.int32)
     keys_cur = ps_keys
     if pad:
-        keys_cur = jnp.concatenate([keys_cur, keys_cur[:pad]])
+        # tile modulo R: any pad width works even when pad > R (small or
+        # tail blocks — ADVICE r3 #1)
+        reps = jnp.arange(pad, dtype=jnp.int32) % R
+        keys_cur = jnp.concatenate([keys_cur, keys_cur[reps]])
     counts = []
+    recs_id = []
+    recs_vis = []
     dbg = jnp.zeros((2,), jnp.float32)
 
     # coherence re-sorts pay off only while the wavefront is large: after
@@ -1023,8 +1146,15 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
     for b in range(B):
         u8p = rng.tagged_uniform_planes(keys_cur, b, 8)
         state, rad_delta, d2 = bounce_call(
-            state, u8p, rr_on=b >= cfg.rr_start_bounce)
-        rad_acc = rad_acc + rad_delta
+            state, u8p, light_sample_planes(u8p),
+            rr_on=b >= cfg.rr_start_bounce)
+        rad_acc = rad_acc + rad_delta[0:3]
+        if collect_records:
+            # scatter back to original ray order through the current perm
+            recs_id.append(jnp.zeros((Rp,), jnp.int32).at[idx].set(
+                rad_delta[3].astype(jnp.int32))[:R])
+            recs_vis.append(jnp.zeros((Rp,), jnp.float32).at[idx].set(
+                rad_delta[4])[:R])
         dbg = dbg + d2
         alive = state[10]
         counts.append(jnp.sum(alive))
@@ -1036,6 +1166,8 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
             keys_cur = keys_cur[perm]
 
     radiance = jnp.zeros((Rp, 3), jnp.float32).at[idx].set(rad_acc.T)[:R]
+    if collect_records:
+        return radiance, jnp.stack(recs_id), jnp.stack(recs_vis)
     if debug_counters:
         return radiance, jnp.concatenate([jnp.stack(counts), dbg])
     if collect_stats:

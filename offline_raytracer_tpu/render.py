@@ -33,8 +33,9 @@ def _trace_builder(scene: Scene, cfg: RenderConfig):
 
 def _mega_active(scene: Scene, cfg: RenderConfig) -> bool:
     """Route through the fused megakernel (ops/mega.py)?  Static checks
-    only; evaluated at trace time.  Forward-only — gradient renders must
-    pick an XLA traversal ("cull"/"packet"/"jnp") explicitly."""
+    only; evaluated at trace time. The mega route is differentiable: its
+    VJP replays the kernel's hit records through the XLA integrator
+    (replay.py), so jax.grad works on the default config."""
     if cfg.traversal not in ("auto", "mega") or not cfg.use_pallas:
         return False
     if not cfg.use_bvh:
@@ -50,10 +51,13 @@ def _paths_fn(scene: Scene, cfg: RenderConfig):
     the fused megakernel when the scene qualifies, else the XLA wavefront."""
     if _mega_active(scene, cfg):
         from offline_raytracer_tpu.ops import mega
+        from offline_raytracer_tpu.replay import mega_paths_diff
 
         def f(ro, rd, keys, collect_stats=False):
-            return mega.render_paths_mega(
-                scene, cfg, ro, rd, keys, collect_stats=collect_stats)
+            if collect_stats:  # stats are forward-only diagnostics
+                return mega.render_paths_mega(
+                    scene, cfg, ro, rd, keys, collect_stats=True)
+            return mega_paths_diff(scene, cfg, ro, rd, keys)
         return f
 
     trace_fn, occl_fn = _trace_builder(scene, cfg)

@@ -44,6 +44,10 @@ def _assert_close(ref, got, atol=2e-4):
     assert d.max() < 0.3, f"max abs diff {d.max()}"          # edge flips only
     assert (rel > 1e-3).mean() < 0.002, f"{(rel > 1e-3).mean()}"
     assert abs(ref.mean() - got.mean()) < atol
+    # systematic (signed) bias bound per channel: a small-region bias that
+    # stays inside the outlier budget must still cancel in the mean
+    signed = (got - ref).reshape(-1, 3).mean(0)
+    assert np.abs(signed).max() < 1e-4, f"signed channel bias {signed}"
 
 
 def _cfg(**kw):
@@ -96,20 +100,55 @@ def test_mega_mis_off(bunny_small):
     _assert_close(ref, got)
 
 
-def test_mega_gate_excludes_cylinders_and_mesh_lights(ref_data_dir):
+def _shaped_scene():
+    """Cylinders + a box (mesh-sampled) light + a cylinder light — the
+    testscene.scn feature set (data/testscene.scn, parser.cpp:1144-1182)
+    that rounds 1-3 gated OFF the fast path."""
+    from offline_raytracer_tpu.scene.build import SceneBuilder
+
+    b = SceneBuilder()
+    b.set_camera((0.0, -3.0, 1.2), 0.5, (0.0, 0.0, 0.0, 1.0))
+    b.add_material(diffuse=(0.6, 0.6, 0.6))
+    b.add_box_minmax((-4, -4, -0.2), (4, 4, 0.0))           # floor
+    b.add_material(diffuse=(0.5, 0.3, 0.2), specular=(0.4, 0.4, 0.4),
+                   spec_exp=40)
+    b.add_cylinder((-0.8, 0.0, 0.0), (0.0, 0.0, 1.2), 0.3)  # upright
+    b.add_cylinder((0.2, -0.5, 0.4), (1.0, 0.5, 0.0), 0.2)  # leaning
+    b.add_material(diffuse=(0.2, 0.4, 0.7))
+    b.add_sphere((0.9, 0.6, 0.35), 0.35)
+    b.add_light_material((6.0, 5.0, 4.0))
+    b.add_box_minmax((-0.5, -0.5, 2.4), (0.5, 0.5, 2.6))    # box light
+    b.add_light_material((2.0, 3.0, 4.0))
+    b.add_cylinder((2.0, 2.0, 0.0), (0.0, 0.0, 2.0), 0.15)  # cylinder light
+    return b.build(64, 64)
+
+
+def test_mega_cylinders_and_shaped_lights():
+    scene = _shaped_scene()
+    cfg = _cfg()
+    assert mega.mega_ok(scene, cfg)   # the r3 gate excluded this scene
+    ref, ra, got, ga = _both(scene, cfg)
+    _assert_close(ref, got)
+    np.testing.assert_allclose(ra, ga)
+
+
+def test_mega_gate_rejects_oversize_tables():
     from offline_raytracer_tpu.scene.build import SceneBuilder
 
     b = SceneBuilder()
     b.add_material(diffuse=(0.5, 0.5, 0.5))
-    b.add_cylinder((0, 0, 0), (0, 0, 1), 0.5)
+    for i in range(130):   # > one lane row of spheres
+        b.add_sphere((i * 2.0, 0, 0), 0.5)
     assert not mega.mega_ok(b.build(32, 32), _cfg())
 
-    b2 = SceneBuilder()
-    b2.add_light_material((5.0, 5.0, 5.0))
-    b2.add_box_minmax((0, 0, 2), (1, 1, 2.2))  # emissive box => mesh light
-    b2.add_material(diffuse=(0.5, 0.5, 0.5))
-    b2.add_sphere((0, 0, 0), 0.5)
-    assert not mega.mega_ok(b2.build(32, 32), _cfg())
+
+def test_mega_small_block():
+    """R < 512 exercises pad > R in the host wrapper (ADVICE r3 #1)."""
+    scene = _shaped_scene()
+    cfg = _cfg()
+    ref, ra, got, ga = _both(scene, cfg, R=200)
+    _assert_close(ref, got)
+    np.testing.assert_allclose(ra, ga)
 
 
 def test_mega_roughness_from_material(bunny_small):
