@@ -411,6 +411,7 @@ def _mega_kernel(
     t_min: float, hit_eps: float,
     rr_p: float, rr_on: bool, do_nee: bool, do_mis: bool,
     ref_rr_quirk: bool = False,
+    trip_leaves: int = 2,
     debug_counters: bool = False, interpret_exact: bool = False,
 ):
     """ONE bounce for one (SUB, 128)-ray block.
@@ -623,17 +624,27 @@ def _mega_kernel(
               & (t >= t_min) & (t < bound[:, :, None]))
         return jnp.where(ok, t, INF), coeff
 
-    # The per-leaf near-distance keys live in VMEM scratch (kf) and the
-    # while loops carry only scalars + (1, LANE) planes — Mosaic cannot
-    # yield the replicated-lane (L, 1) layout through a loop boundary.
+    # The per-leaf visit keys live in VMEM scratch kf, (1, L) lane-major.
     # Leaves are visited FRONT TO BACK (min key first, knocked out to INF
     # after each visit); closest-hit terminates once the nearest remaining
     # leaf lies beyond every lane's current best — the packet analog of
     # the ordered descent the reference's queue walk never had
     # (raycast_bvh, ray.cpp:776-812 pushes children unordered).
+    # NOTE on rejected designs (measured on bunny/v5e, round 4): a
+    # block-level UNION walk (one while loop per block, 8x-wide sweeps)
+    # ran 2.4x slower — the union of 8 rows' leaf sets times 8x-wide
+    # sweeps exceeds the per-row work; a LOCKSTEP walk (8 rows advancing
+    # together for pipelining) ran 1.7x slower — rows finish at different
+    # depths and the stragglers waste whole-trip sweeps; a conservative
+    # FRUSTUM (interval-arithmetic) cull in place of the exact per-lane
+    # (L, 128) cull ran 4.4x slower — visit count, not cull flops, is
+    # what the walk's cost follows, and the exact cull minimizes it.
 
     def _pick_leaf(mn):
         return jnp.min(jnp.where(kf[:, :] <= mn, iota_L, BIGI))
+
+    def _knock(leaf):
+        kf[pl.ds(leaf, 1), :] = jnp.full((1, 1), INF, jnp.float32)
 
     def tri_closest_rows():
         def row_fn(r, _):
@@ -644,76 +655,84 @@ def _mega_kernel(
             rdy = st[4, pl.ds(r, 1), :]
             rdz = st[5, pl.ds(r, 1), :]
             bt0 = hv[0, pl.ds(r, 1), :]
-            kf[:, :] = row_cull(rox, roy, roz, rdx, rdy, rdz, bt0)
 
-            def cond(c):
-                mn, it, bt = c[0], c[1], c[2]
-                return mn < jnp.max(bt)
+            # all-dead rows (compaction tails) skip cull + walk entirely
+            @pl.when(jnp.max(bt0) > 0.0)
+            def _():
+                kf[:, :] = row_cull(rox, roy, roz, rdx, rdy, rdz, bt0)
 
-            def visit(leaf, guard, bt, bnx, bny, bnz, bm, bid):
-                bound = jnp.where(guard, bt, 0.0)
-                t, coeff = leaf_sweep(
-                    leaf, rox, roy, roz, rdx, rdy, rdz, bound)
-                tmin = t.min(-1)
-                better = tmin < bt
+                def cond(c):
+                    mn, it, bt = c[0], c[1], c[2]
+                    return mn < jnp.max(bt)
 
-                def with_attrs(_):
-                    lane_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, t.shape, 2)
-                    lane = jnp.min(
-                        jnp.where(t <= tmin[:, :, None], lane_iota, BIGI), -1)
-                    msk = lane_iota == lane[:, :, None]
-                    nrow = lambda k: coeff[k, 0, :][None, None, :]
-                    nxv = jnp.sum(jnp.where(msk, nrow(8), 0.0), -1)
-                    nyv = jnp.sum(jnp.where(msk, nrow(9), 0.0), -1)
-                    nzv = jnp.sum(jnp.where(msk, nrow(10), 0.0), -1)
-                    mrow = matp_ref[leaf, :][None, None, :]
-                    mv = jnp.sum(jnp.where(msk, mrow, 0), -1)
-                    # hit record: BVH slot id = tri_base + leaf*128 + lane
-                    idv = meta.tri_base + leaf * LANE + lane
-                    return (jnp.where(better, tmin, bt),
-                            jnp.where(better, nxv, bnx),
-                            jnp.where(better, nyv, bny),
-                            jnp.where(better, nzv, bnz),
-                            jnp.where(better, mv, bm),
-                            jnp.where(better, idv, bid))
+                def visit(leaf, guard, bt, bnx, bny, bnz, bm, bid):
+                    bound = jnp.where(guard, bt, 0.0)
+                    t, coeff = leaf_sweep(
+                        leaf, rox, roy, roz, rdx, rdy, rdz, bound)
+                    tmin = t.min(-1)
+                    better = tmin < bt
 
-                return jax.lax.cond(
-                    jnp.any(better), with_attrs,
-                    lambda _: (bt, bnx, bny, bnz, bm, bid), None)
+                    def with_attrs(_):
+                        lane_iota = jax.lax.broadcasted_iota(
+                            jnp.int32, t.shape, 2)
+                        lane = jnp.min(
+                            jnp.where(t <= tmin[:, :, None], lane_iota,
+                                      BIGI), -1)
+                        msk = lane_iota == lane[:, :, None]
+                        nrow = lambda k: coeff[k, 0, :][None, None, :]
+                        nxv = jnp.sum(jnp.where(msk, nrow(8), 0.0), -1)
+                        nyv = jnp.sum(jnp.where(msk, nrow(9), 0.0), -1)
+                        nzv = jnp.sum(jnp.where(msk, nrow(10), 0.0), -1)
+                        mrow = matp_ref[leaf, :][None, None, :]
+                        mv = jnp.sum(jnp.where(msk, mrow, 0), -1)
+                        # hit record: BVH slot id = tri_base + leaf*128+lane
+                        idv = meta.tri_base + leaf * LANE + lane
+                        return (jnp.where(better, tmin, bt),
+                                jnp.where(better, nxv, bnx),
+                                jnp.where(better, nyv, bny),
+                                jnp.where(better, nzv, bnz),
+                                jnp.where(better, mv, bm),
+                                jnp.where(better, idv, bid))
 
-            def body(c):
-                # visit TWO leaves per iteration: the while handshake and
-                # the (L,1) key reductions are a large fixed cost per trip
-                mn, it, bt, bnx, bny, bnz, bm, bid = c
-                leaf_a = _pick_leaf(mn)
-                kf[pl.ds(leaf_a, 1), :] = jnp.full((1, 1), INF, jnp.float32)
-                mn_b = jnp.min(kf[:, :])
-                leaf_b = jnp.minimum(_pick_leaf(mn_b), L - 1)
-                kf[pl.ds(leaf_b, 1), :] = jnp.full((1, 1), INF, jnp.float32)
+                    return jax.lax.cond(
+                        jnp.any(better), with_attrs,
+                        lambda _: (bt, bnx, bny, bnz, bm, bid), None)
 
-                bt, bnx, bny, bnz, bm, bid = visit(
-                    leaf_a, True, bt, bnx, bny, bnz, bm, bid)
-                bt, bnx, bny, bnz, bm, bid = visit(
-                    leaf_b, mn_b < jnp.max(bt), bt, bnx, bny, bnz, bm, bid)
-                return (jnp.min(kf[:, :]), it + 2.0, bt, bnx, bny, bnz, bm,
-                        bid)
+                def body(c):
+                    # visit SEVERAL leaves per trip: the while handshake
+                    # and the key reductions are a fixed cost per trip,
+                    # amortized over trip_leaves front-to-back visits
+                    mn, it, bt, bnx, bny, bnz, bm, bid = c
+                    cur = mn
+                    for k in range(trip_leaves):
+                        if k == 0:
+                            leaf = _pick_leaf(cur)
+                            guard = True
+                        else:
+                            cur = jnp.min(kf[:, :])
+                            leaf = jnp.minimum(_pick_leaf(cur), L - 1)
+                            guard = cur < jnp.max(bt)
+                        _knock(leaf)
+                        bt, bnx, bny, bnz, bm, bid = visit(
+                            leaf, guard, bt, bnx, bny, bnz, bm, bid)
+                    return (jnp.min(kf[:, :]), it + float(trip_leaves),
+                            bt, bnx, bny, bnz, bm, bid)
 
-            init = (jnp.min(kf[:, :]), jnp.float32(0.0), bt0,
-                    hv[1, pl.ds(r, 1), :], hv[2, pl.ds(r, 1), :],
-                    hv[3, pl.ds(r, 1), :], hm[pl.ds(r, 1), :],
-                    hi[pl.ds(r, 1), :])
-            _, it, bt, bnx, bny, bnz, bm, bid = jax.lax.while_loop(
-                cond, body, init)
-            if debug_counters:   # CPU-interpret profiling only: the SMEM
-                # accumulation stalls the Mosaic compile on real TPUs
-                cnt_ref[0, 0, 0] += it
-            hv[0, pl.ds(r, 1), :] = bt
-            hv[1, pl.ds(r, 1), :] = bnx
-            hv[2, pl.ds(r, 1), :] = bny
-            hv[3, pl.ds(r, 1), :] = bnz
-            hm[pl.ds(r, 1), :] = bm
-            hi[pl.ds(r, 1), :] = bid
+                init = (jnp.min(kf[:, :]), jnp.float32(0.0), bt0,
+                        hv[1, pl.ds(r, 1), :], hv[2, pl.ds(r, 1), :],
+                        hv[3, pl.ds(r, 1), :], hm[pl.ds(r, 1), :],
+                        hi[pl.ds(r, 1), :])
+                _, it, bt, bnx, bny, bnz, bm, bid = jax.lax.while_loop(
+                    cond, body, init)
+                if debug_counters:   # CPU-interpret profiling only: the
+                    # SMEM accumulation stalls the Mosaic compile on TPUs
+                    cnt_ref[0, 0, 0] += it
+                hv[0, pl.ds(r, 1), :] = bt
+                hv[1, pl.ds(r, 1), :] = bnx
+                hv[2, pl.ds(r, 1), :] = bny
+                hv[3, pl.ds(r, 1), :] = bnz
+                hm[pl.ds(r, 1), :] = bm
+                hi[pl.ds(r, 1), :] = bid
             return 0
 
         jax.lax.fori_loop(0, SUB, row_fn, 0)
@@ -726,39 +745,45 @@ def _mega_kernel(
             rdx = sh[3, pl.ds(r, 1), :]
             rdy = sh[4, pl.ds(r, 1), :]
             rdz = sh[5, pl.ds(r, 1), :]
-            tfb = sh[6, pl.ds(r, 1), :]
+            tfb0 = sh[6, pl.ds(r, 1), :]
             occ0 = sh[7, pl.ds(r, 1), :]
-            tfb = jnp.where(occ0 > 0.5, 0.0, tfb)
-            kf[:, :] = row_cull(rox, roy, roz, rdx, rdy, rdz, tfb)
+            tfb = jnp.where(occ0 > 0.5, 0.0, tfb0)
 
-            def cond(c):
-                mn, it, occ = c
-                # a leaf farther than every unresolved lane's light distance
-                # cannot occlude anything that still matters
-                return mn < jnp.max(jnp.where(occ < 0.5, tfb, 0.0))
+            @pl.when(jnp.max(tfb) > 0.0)
+            def _():
+                kf[:, :] = row_cull(rox, roy, roz, rdx, rdy, rdz, tfb)
 
-            def body(c):
-                mn, it, occ = c
-                leaf_a = _pick_leaf(mn)
-                kf[pl.ds(leaf_a, 1), :] = jnp.full((1, 1), INF, jnp.float32)
-                mn_b = jnp.min(kf[:, :])
-                leaf_b = jnp.minimum(_pick_leaf(mn_b), L - 1)
-                kf[pl.ds(leaf_b, 1), :] = jnp.full((1, 1), INF, jnp.float32)
+                def cond(c):
+                    mn, it, occ = c
+                    # a leaf farther than every unresolved lane's light
+                    # distance cannot occlude anything that still matters
+                    return mn < jnp.max(jnp.where(occ < 0.5, tfb, 0.0))
 
-                bound = jnp.where(occ > 0.5, 0.0, tfb)
-                t, _ = leaf_sweep(leaf_a, rox, roy, roz, rdx, rdy, rdz, bound)
-                occ = jnp.maximum(occ, jnp.any(t < INF, -1).astype(jnp.float32))
-                bound = jnp.where(
-                    (occ > 0.5) | (mn_b >= INF), 0.0, tfb)
-                t, _ = leaf_sweep(leaf_b, rox, roy, roz, rdx, rdy, rdz, bound)
-                occ = jnp.maximum(occ, jnp.any(t < INF, -1).astype(jnp.float32))
-                return jnp.min(kf[:, :]), it + 2.0, occ
+                def body(c):
+                    mn, it, occ = c
+                    cur = mn
+                    for k in range(trip_leaves):
+                        if k == 0:
+                            leaf = _pick_leaf(cur)
+                            gate = occ > 0.5
+                        else:
+                            cur = jnp.min(kf[:, :])
+                            leaf = jnp.minimum(_pick_leaf(cur), L - 1)
+                            gate = (occ > 0.5) | (cur >= INF)
+                        _knock(leaf)
+                        bound = jnp.where(gate, 0.0, tfb)
+                        t, _ = leaf_sweep(
+                            leaf, rox, roy, roz, rdx, rdy, rdz, bound)
+                        occ = jnp.maximum(
+                            occ, jnp.any(t < INF, -1).astype(jnp.float32))
+                    return jnp.min(kf[:, :]), it + float(trip_leaves), occ
 
-            _, it, occ = jax.lax.while_loop(
-                cond, body, (jnp.min(kf[:, :]), jnp.float32(0.0), occ0))
-            if debug_counters:
-                cnt_ref[0, 0, 1] += it
-            sh[7, pl.ds(r, 1), :] = occ
+                _, it, occ = jax.lax.while_loop(
+                    cond, body, (jnp.min(kf[:, :]), jnp.float32(0.0),
+                                 occ0))
+                if debug_counters:
+                    cnt_ref[0, 0, 1] += it
+                sh[7, pl.ds(r, 1), :] = occ
             return 0
 
         jax.lax.fori_loop(0, SUB, row_fn, 0)
@@ -795,9 +820,12 @@ def _mega_kernel(
         prev_pdf = st[12]
         alive = st[13] > 0.5
 
-        # ---- closest hit: analytic (vector) then triangles (rows)
+        # ---- closest hit: analytic (vector) then triangles
         bt, bn, bm, bi = analytic_closest(o, d)
-        hv[0], hv[1], hv[2], hv[3] = bt, bn[0], bn[1], bn[2]
+        # dead lanes get bound 0: they can never want a leaf, and the
+        # block walk's termination max ignores them
+        hv[0] = jnp.where(alive, bt, 0.0)
+        hv[1], hv[2], hv[3] = bn[0], bn[1], bn[2]
         hm[:, :] = bm
         hi[:, :] = bi
         if has_tris:
@@ -978,6 +1006,9 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
     """
     from offline_raytracer_tpu.utils import rng
 
+    import os as _os
+    trip_leaves = int(_os.environ.get("MEGA_TRIP_LEAVES", "2"))
+
     R = ro.shape[0]
     B = cfg.max_bounces
     n_blocks = -(-R // BLOCK)
@@ -1031,6 +1062,7 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
             rr_p=float(cfg.russian_roulette), rr_on=rr_on,
             do_nee=do_nee, do_mis=do_nee and cfg.enable_mis,
             ref_rr_quirk=cfg.reference_rr_quirk,
+            trip_leaves=trip_leaves,
             debug_counters=debug_counters, interpret_exact=interpret)
         full4 = lambda shp: pl.BlockSpec(
             shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)
@@ -1142,7 +1174,7 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
     # coherence re-sorts pay off only while the wavefront is large: after
     # bounce ~3 the population is a few % and the 262k-element argsort +
     # gathers (~8 ms on a v5e) dwarf the sweep work they save
-    sort_after = min(B - 1, 3)
+    sort_after = min(B - 1, int(_os.environ.get("MEGA_SORT_AFTER", "3")))
     for b in range(B):
         u8p = rng.tagged_uniform_planes(keys_cur, b, 8)
         state, rad_delta, d2 = bounce_call(
