@@ -55,7 +55,7 @@ def main():
 
     # ---- testscene, reference estimator -------------------------------
     W, H = (160, 90) if fast else (640, 360)
-    SPP = 8 if fast else 512
+    SPP = 8 if fast else 256
     cfg = RenderConfig(
         width=W, height=H, spp=SPP, max_bounces=12,
         enable_nee=False, enable_mis=False, pixel_jitter=False,

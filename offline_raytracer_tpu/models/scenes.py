@@ -80,7 +80,12 @@ def dwarf(width=512, height=512, data_dir=REF_DATA):
     o = load_obj(f"{data_dir}/dwarf.obj")
     v = o["positions"].copy()
     v = (v - v.mean(0)) * 0.02
-    v[:, [1, 2]] = v[:, [2, 1]]              # obj is y-up; scene is z-up
+    # obj is y-up; scene is z-up: proper rotation (x, -z, y) keeps the
+    # model upright AND right-handed (the old axis swap mirrored it onto
+    # its back — the r4 dwarf golden caught it)
+    y = v[:, 1].copy()
+    v[:, 1] = -v[:, 2]
+    v[:, 2] = y
     v[:, 2] -= v[:, 2].min()
     b = SceneBuilder()
     b.add_material(diffuse=(0.7, 0.55, 0.35), specular=(0.2, 0.2, 0.2), spec_exp=30)
@@ -91,7 +96,10 @@ def dwarf(width=512, height=512, data_dir=REF_DATA):
     b.add_sphere((1.5, -1.5, 2.5), 0.35)
     b.add_light_material((3.0, 3.5, 5.0))
     b.add_sphere((-1.5, 1.5, 3.0), 0.5)
-    b.set_camera((2.2, 0.0, 1.0), 0.4, _lookat_quat_y())
+    # camera on +X looking at the origin with IMAGE-up = world +Z: the
+    # cyclic axis permutation x->y->z->x, i.e. 120 deg about (1,1,1)
+    b.set_camera((2.6, 0.0, 0.9), 0.4,
+                 np.array([0.5, 0.5, 0.5, 0.5], np.float32))
     return b.build(width, height)
 
 
