@@ -128,6 +128,37 @@ def main():
         print(f"MFU estimate: {mrays:.2f} Mrays/s x {EST_FLOPS_PER_RAY:.0f} "
               f"FLOPs/ray / {PEAK_LABEL} = {mfu*100:.2f}%", file=sys.stderr)
 
+    # ---- testscene on the fast path (VERDICT r3 #2) ---------------------
+    # the reference's only showcase scene, now megakernel-hosted:
+    # cylinders + box/mesh/cylinder lights in-kernel
+    ts_mrays = 0.0
+    if not on_cpu:
+        from offline_raytracer_tpu.scene.scn import load_scene
+        from offline_raytracer_tpu.render import _mega_active
+
+        TW, TH, TSPP = 320, 180, 16
+        tscene, _ = load_scene(
+            "/root/reference/data/testscene.scn", TW, TH)
+        tcfg = RenderConfig(width=TW, height=TH, spp=TSPP, max_bounces=8,
+                            enable_dof=False, ray_batch=TW * TH)
+        assert _mega_active(tscene, tcfg), "testscene must ride the mega path"
+        torder = tile_pixel_ids(TW, TH)
+        tids = jnp.asarray(torder)
+        out, talive = render_block_stats_jit(tscene, tcfg, tids, 0, 1)
+        np.asarray(out)   # compile
+        t0 = time.time()
+        t_rays = 0.0
+        for s in range(TSPP):
+            out, talive = render_block_stats_jit(tscene, tcfg, tids, s, 1)
+            n_paths = TW * TH
+            t_rays += 2 * n_paths + talive.sum() + talive[:-1].sum()
+        t_rays = float(t_rays)
+        ts_dt = time.time() - t0
+        assert np.isfinite(np.asarray(out)).all()
+        ts_mrays = t_rays / ts_dt / 1e6
+        print(f"testscene {TW}x{TH}: {ts_mrays:.2f} Mrays/s (mega path)",
+              file=sys.stderr)
+
     # ---- fwd+bwd throughput (north-star metric) -------------------------
     # gradient step w.r.t. material albedo + mesh vertices. On TPU the
     # default "auto" route is the megakernel with path-replay backprop
@@ -184,6 +215,7 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
         "fwd_bwd_mrays": round(g_mrays, 3),
+        "testscene_mrays": round(ts_mrays, 3),
         "compile_s": round(compile_s, 1),
     }))
 

@@ -35,7 +35,11 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     if args.multihost:
         from offline_raytracer_tpu.parallel.shard import init_multihost

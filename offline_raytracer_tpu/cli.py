@@ -127,6 +127,9 @@ def main(argv=None):
         enable_nee=not (args.no_nee or args.reference_mode),
         enable_mis=not (args.no_nee or args.reference_mode),
         pixel_jitter=not args.reference_mode,
+        # match the reference's uncompensated final RR gate so renders are
+        # comparable to showcase/*.hdr (config.py reference_rr_quirk)
+        reference_rr_quirk=args.reference_mode,
         enable_dof=not args.no_dof,
         use_bvh=not args.no_bvh,
         use_pallas=not args.no_pallas,

@@ -1142,6 +1142,9 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
         for bit in range(5):
             for k in range(3):
                 cell = cell * 2 + ((qs[k] >> (4 - bit)) & 1)
+        # octant-major beats cell-major grouping (33.9 vs 37.1 ms on the
+        # bunny wavefronts, r4 A/B): direction agreement is what keeps a
+        # row's front-to-back walk short
         return (dead.astype(jnp.int32) * (1 << 19)
                 + octant * (1 << 16) + cell)
 

@@ -14,8 +14,10 @@ from offline_raytracer_tpu.render import render_block_jit
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices")
 
+# use_pallas stays ON everywhere: backend capability (not correctness)
+# decides the kernel route (ops/traverse.py gates on default_backend)
 CFG = RenderConfig(width=16, height=16, spp=2, max_bounces=3,
-                   enable_dof=False, use_pallas=False)
+                   enable_dof=False)
 
 
 def test_shard_invariance(analytic_scene):
@@ -120,7 +122,7 @@ def test_ring_geometry_matches_replicated(ref_data_dir):
 
     scene = bunny(16, 16)
     cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=3,
-                       enable_dof=False, use_pallas=False)
+                       enable_dof=False)
     ids = jnp.arange(256, dtype=jnp.int32)
 
     mesh = make_mesh(jax.devices()[:8])
@@ -146,7 +148,7 @@ def test_ring_occlusion_matches_replicated(ref_data_dir):
 
     scene = bunny(16, 16)
     cfg = RenderConfig(width=16, height=16, spp=1, max_bounces=2,
-                       enable_dof=False, use_pallas=False)
+                       enable_dof=False)
     n_dev = 8
     mesh = make_mesh(jax.devices()[:n_dev])
     child_rows, planes, tri_index, p, m = build_bvh_shards(
