@@ -568,6 +568,18 @@ def _mega_kernel(
         return occ
 
     iota_L = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    KEY_MASK = 4095          # low bits carry the leaf id (L <= 4096)
+    KEY_NONE = jnp.int32(0x7F800000)   # +inf bits: decodes ABOVE any
+    #                  finite bound incl. the INF miss-t (3.4e38) — "no leaf"
+
+    def enc_bound(row):
+        """(1,N) nonneg f32 plane -> its max, as ENCODED int32 scalar.
+
+        IEEE ordering == int ordering for nonnegative floats, so key
+        comparisons happen entirely in the integer domain (Mosaic has no
+        scalar bitcast; the (1,1) vector bitcast folds away)."""
+        m = jnp.max(row, keepdims=True)
+        return jnp.sum(jax.lax.bitcast_convert_type(m, jnp.int32))
 
     def row_cull(rox, roy, roz, rdx, rdy, rdz, bound):
         """(1,LANE) ray row vs (L,1) leaf AABB columns -> wanted-leaf key."""
@@ -590,7 +602,15 @@ def _mega_kernel(
         # min/max slab form (min(+inf,-inf) = -inf) — without the m_occ
         # mask every row sweeps all L - m_occ pads.
         nearr = jnp.min(jnp.where(wants, near, INF), axis=1, keepdims=True)
-        return jnp.where(iota_L < m_occ, nearr, INF)
+        # ENCODED keys: distance bits (rounded DOWN, so still a valid
+        # lower bound for the ordered-walk termination) with the leaf id
+        # in the low 12 bits. One int32 min then yields the next leaf AND
+        # its distance — the picks were two (L,1) reductions per leaf and
+        # the dominant fixed cost of each walk trip.
+        bits = jax.lax.bitcast_convert_type(
+            jnp.minimum(nearr, 3e37), jnp.int32)
+        enc = (bits & ~KEY_MASK) | iota_L
+        return jnp.where((iota_L < m_occ) & (nearr < INF), enc, KEY_NONE)
 
     def pairs(rx, ry, rz, tx, ty, tz, cc=None):
         out = (rx[:, :, None] * tx[None, None, :]
@@ -640,11 +660,8 @@ def _mega_kernel(
     # (L, 128) cull ran 4.4x slower — visit count, not cull flops, is
     # what the walk's cost follows, and the exact cull minimizes it.
 
-    def _pick_leaf(mn):
-        return jnp.min(jnp.where(kf[:, :] <= mn, iota_L, BIGI))
-
     def _knock(leaf):
-        kf[pl.ds(leaf, 1), :] = jnp.full((1, 1), INF, jnp.float32)
+        kf[pl.ds(leaf, 1), :] = jnp.full((1, 1), KEY_NONE, jnp.int32)
 
     def tri_closest_rows():
         def row_fn(r, _):
@@ -663,7 +680,7 @@ def _mega_kernel(
 
                 def cond(c):
                     mn, it, bt = c[0], c[1], c[2]
-                    return mn < jnp.max(bt)
+                    return (mn & ~KEY_MASK) < enc_bound(bt)
 
                 def visit(leaf, guard, bt, bnx, bny, bnz, bm, bid):
                     bound = jnp.where(guard, bt, 0.0)
@@ -705,13 +722,11 @@ def _mega_kernel(
                     mn, it, bt, bnx, bny, bnz, bm, bid = c
                     cur = mn
                     for k in range(trip_leaves):
-                        if k == 0:
-                            leaf = _pick_leaf(cur)
-                            guard = True
-                        else:
+                        if k > 0:
                             cur = jnp.min(kf[:, :])
-                            leaf = jnp.minimum(_pick_leaf(cur), L - 1)
-                            guard = cur < jnp.max(bt)
+                        leaf = jnp.minimum(cur & KEY_MASK, L - 1)
+                        guard = True if k == 0 else (
+                            (cur & ~KEY_MASK) < enc_bound(bt))
                         _knock(leaf)
                         bt, bnx, bny, bnz, bm, bid = visit(
                             leaf, guard, bt, bnx, bny, bnz, bm, bid)
@@ -757,19 +772,18 @@ def _mega_kernel(
                     mn, it, occ = c
                     # a leaf farther than every unresolved lane's light
                     # distance cannot occlude anything that still matters
-                    return mn < jnp.max(jnp.where(occ < 0.5, tfb, 0.0))
+                    return (mn & ~KEY_MASK) < enc_bound(
+                        jnp.where(occ < 0.5, tfb, 0.0))
 
                 def body(c):
                     mn, it, occ = c
                     cur = mn
                     for k in range(trip_leaves):
-                        if k == 0:
-                            leaf = _pick_leaf(cur)
-                            gate = occ > 0.5
-                        else:
+                        if k > 0:
                             cur = jnp.min(kf[:, :])
-                            leaf = jnp.minimum(_pick_leaf(cur), L - 1)
-                            gate = (occ > 0.5) | (cur >= INF)
+                        leaf = jnp.minimum(cur & KEY_MASK, L - 1)
+                        gate = (occ > 0.5) if k == 0 else (
+                            (occ > 0.5) | (cur >= KEY_NONE))
                         _knock(leaf)
                         bound = jnp.where(gate, 0.0, tfb)
                         t, _ = leaf_sweep(
@@ -1104,7 +1118,7 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
                 pltpu.VMEM((SUB, LANE), jnp.int32),
                 pltpu.VMEM((SUB, LANE), jnp.int32),
                 pltpu.VMEM((8, SUB, LANE), jnp.float32),
-                pltpu.VMEM((L, 1), jnp.float32),
+                pltpu.VMEM((L, 1), jnp.int32),
             ],
             interpret=interpret,
         )(st_in, u_in, ls_in, planes, matp, leaf_cols, consts)
