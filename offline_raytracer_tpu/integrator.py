@@ -103,29 +103,70 @@ def trace_paths(
     do_nee = cfg.enable_nee and n_lights > 0
     do_mis = do_nee and cfg.enable_mis
 
+    # Replay mode: every id-dependent GATHER is hoisted out of the scan —
+    # on TPU a gather inside lax.scan lowers ~25x slower than at top
+    # level (r4 profiling: the in-scan gathers were the entire replay
+    # cost). The recorded winner ids cover all bounces up front, so one
+    # batched gather per table here feeds the scan via xs.
+    pre = None
+    if replay is not None:
+        from offline_raytracer_tpu.ops.intersect import (
+            hit_from_params, prefetch_hit_params)
+
+        ids_all, vis_all = replay
+        B = cfg.max_bounces
+        hp_all = prefetch_hit_params(scene, ids_all)        # (B, R, ...)
+        u8_all = jnp.stack(
+            [rng.bounce_uniforms(ps_keys, b, 8) for b in range(B)])
+        mat_all = hp_all["mat"]
+        pre = {
+            "hp": hp_all,
+            "u8": u8_all,
+            "matp": bsdf_ops.gather_mat_params(
+                mats, mat_all, cfg.default_roughness,
+                cfg.roughness_from_material),
+            "emit": mats.emit[mat_all],
+            "is_light": mats.is_light[mat_all],
+            "light_idx": scene.mat_to_light[mat_all],
+            "vis": vis_all,
+        }
+        if do_mis:
+            pre["pdf_area_hit"] = light_ops.light_pdf_area(
+                scene.lights, pre["light_idx"])
+        if do_nee:
+            u4 = u8_all[..., 0:4].reshape(B * R, 4)
+            ls_flat = light_ops.sample_lights(u4, scene.lights, mats.emit)
+            pre["ls"] = jax.tree.map(
+                lambda x: x.reshape((B, R) + x.shape[1:]), ls_flat)
+
     def bounce(state: PathState, xs):
         if replay is None:
             bounce_idx = xs
-        else:
-            bounce_idx, ids_b, vis_b = xs
-        # all of this bounce's randomness in one threefry sweep:
-        # [0] light pick  [1:4] light point  [4] RR  [5:8] bsdf sample
-        u8 = rng.bounce_uniforms(state.keys, bounce_idx, 8)
-
-        if replay is None:
+            # all of this bounce's randomness in one threefry sweep:
+            # [0] light pick  [1:4] light point  [4] RR  [5:8] bsdf sample
+            u8 = rng.bounce_uniforms(state.keys, bounce_idx, 8)
             hit = trace_fn(state.origin, state.direction)
+            emit = mats.emit[hit.mat]
+            hit_is_light = mats.is_light[hit.mat]
         else:
-            from offline_raytracer_tpu.ops.intersect import hit_from_ids
-            hit = hit_from_ids(
-                scene, state.origin, state.direction, ids_b, cfg.t_min)
+            bounce_idx, pre_b = xs
+            u8 = pre_b["u8"]
+            hit = hit_from_params(
+                scene, pre_b["hp"], state.origin, state.direction,
+                cfg.t_min)
+            emit = pre_b["emit"]
+            hit_is_light = pre_b["is_light"]
 
-        emit = mats.emit[hit.mat]
-        hit_light = mats.is_light[hit.mat] & hit.valid
+        hit_light = hit_is_light & hit.valid
 
         # ------ emissive accumulation (implicit light connection, ref :1355-1371)
         if do_mis:
-            light_idx = scene.mat_to_light[hit.mat]
-            pdf_area = light_ops.light_pdf_area(scene.lights, light_idx)
+            if replay is None:
+                light_idx = scene.mat_to_light[hit.mat]
+                pdf_area = light_ops.light_pdf_area(scene.lights, light_idx)
+            else:
+                light_idx = pre_b["light_idx"]
+                pdf_area = pre_b["pdf_area_hit"]
             cos_l = jnp.sum(hit.normal * (-state.direction), -1)
             p_nee = light_ops.solid_angle_pdf(pdf_area, hit.t, cos_l)
             mis_applies = (light_idx >= 0) & (state.prev_pdf >= 0.0)
@@ -143,7 +184,8 @@ def trace_paths(
             # FRONT face (cos_l gate below), so back-facing emissive hits
             # keep weight 1 too — zeroing them would lose energy, not
             # remove a double count (ADVICE r2).
-            light_idx = scene.mat_to_light[hit.mat]
+            light_idx = (scene.mat_to_light[hit.mat] if replay is None
+                         else pre_b["light_idx"])
             front = jnp.sum(hit.normal * (-state.direction), -1) > 1e-6
             mis_w = jnp.where(
                 (light_idx >= 0) & (state.prev_pdf >= 0.0) & front, 0.0, 1.0)
@@ -170,16 +212,24 @@ def trace_paths(
         x = jnp.where(alive[..., None], x, state.origin)  # keep dead lanes finite
         wo = -state.direction
         n = hit.normal
-        safe_mat = jnp.where(alive, hit.mat, 0)
-        matp = bsdf_ops.gather_mat_params(
-            mats, safe_mat, cfg.default_roughness, cfg.roughness_from_material
-        )
+        if replay is None:
+            safe_mat = jnp.where(alive, hit.mat, 0)
+            matp = bsdf_ops.gather_mat_params(
+                mats, safe_mat, cfg.default_roughness,
+                cfg.roughness_from_material)
+        else:
+            # prefetched by hit.mat (miss lanes carry mat 0 already; dead
+            # lanes' params are only NaN-safety, everything downstream is
+            # alive-masked)
+            matp = pre_b["matp"]
         seg_len = jnp.where(hit.valid, hit.t, 0.0)
 
         # ------ next-event estimation (working version of ref's dead
         # explicit-connection block, ray.cpp:1285-1327)
         if do_nee:
-            ls = light_ops.sample_lights(u8[:, 0:4], scene.lights, mats.emit)
+            ls = (light_ops.sample_lights(u8[:, 0:4], scene.lights,
+                                          mats.emit)
+                  if replay is None else pre_b["ls"])
             to_l = ls.p - x
             dist_l = jnp.linalg.norm(to_l, axis=-1)
             wi_l = to_l / jnp.maximum(dist_l, 1e-9)[..., None]
@@ -189,7 +239,7 @@ def trace_paths(
             # dead lanes launch with t_far=0 and cost nothing
             worth = alive & (cos_l > 1e-6)
             if replay is not None:
-                visible = vis_b > 0.5
+                visible = pre_b["vis"] > 0.5
             elif occl_fn is not None:
                 x_sh = jnp.where(worth[..., None], x, PARK_ORIGIN)
                 tf = jnp.where(worth, dist_l * (1.0 - 1e-3), 0.0)
@@ -263,10 +313,19 @@ def trace_paths(
         return new_state, jnp.sum(alive.astype(jnp.float32))
 
     if replay is None:
-        xs = jnp.arange(cfg.max_bounces)
+        state, alive_per_bounce = jax.lax.scan(
+            bounce, state, jnp.arange(cfg.max_bounces))
     else:
-        xs = (jnp.arange(cfg.max_bounces), replay[0], replay[1])
-    state, alive_per_bounce = jax.lax.scan(bounce, state, xs)
+        # UNROLLED: on TPU both gathers and large-xs slicing degrade
+        # badly inside lax.scan (r4 profiling); the bounce count is
+        # static and small, so the replay pays compile size for a
+        # top-level-fast body
+        alive_counts = []
+        for b in range(cfg.max_bounces):
+            pre_b = jax.tree.map(lambda x: x[b], pre)
+            state, a = bounce(state, (jnp.int32(b), pre_b))
+            alive_counts.append(a)
+        alive_per_bounce = jnp.stack(alive_counts)
     if collect_stats:
         return state.radiance, alive_per_bounce
     return state.radiance

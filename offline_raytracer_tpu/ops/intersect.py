@@ -106,8 +106,10 @@ def box_hit_one(bmin, bmax, ro, rd, t_min):
     axis_entry = jnp.argmax(tn, -1)
     axis_exit = jnp.argmin(tf, -1)
     axis = jnp.where(inner, axis_exit, axis_entry)
-    eye = jnp.eye(3, dtype=ro.dtype)
-    n_axis = eye[axis]                                        # (R, 3)
+    # one-hot via compares, not eye[axis]: a gather — even from a 3-row
+    # table — lowers ~25x slower inside lax.scan on TPU (r4 finding)
+    n_axis = jnp.stack(
+        [axis == 0, axis == 1, axis == 2], -1).astype(ro.dtype)  # (R, 3)
     # outward normal: against ray on entry, along ray on exit; then flip to
     # the face's outward orientation via sign of rd on that axis
     sgn = jnp.sign(jnp.take_along_axis(rd, axis[..., None], -1))[..., 0]
@@ -302,6 +304,100 @@ def hit_from_ids(scene: Scene, ro, rd, ids, t_min) -> Hit:
         tri = jnp.maximum(scene.tri_bvh.tri_index[slot], 0)
         prim_idx = jnp.where(prim_type == TRIANGLE, tri, prim_idx)
     return refine_hit(scene, ro, rd, t_min, prim_type, prim_idx, valid)
+
+
+def prefetch_hit_params(scene: Scene, ids):
+    """Hoist every id-dependent gather of the replay path OUT of the
+    bounce scan. Measured on v5e (round 4): a gather inside ``lax.scan``
+    lowers ~25x slower than the identical gather at top level, and
+    hit_from_ids does ~7 of them — they were the entire cost of the
+    replay forward. The winner ids for ALL bounces are known up front
+    (megakernel records), so one batched gather per table here replaces
+    B gathers inside the scan. ``ids``: (..., ) MegaMeta-encoded int32;
+    every returned leaf broadcasts over the same leading axes and stays
+    ATTACHED to the scene arrays (vertex/material gradients flow through
+    these gathers, transposed once instead of per bounce).
+    """
+    ns = scene.spheres.radius.shape[0]
+    nb = scene.boxes.mat.shape[0]
+    nc = scene.cylinders.radius.shape[0]
+    valid = ids >= 0
+    i = jnp.maximum(ids, 0)
+    prim_type = jnp.where(
+        i < ns, SPHERE,
+        jnp.where(i < ns + nb, BOX,
+                  jnp.where(i < ns + nb + nc, CYLINDER, TRIANGLE)))
+    prim_idx = jnp.where(
+        i < ns, i,
+        jnp.where(i < ns + nb, i - ns,
+                  jnp.where(i < ns + nb + nc, i - ns - nb, 0)))
+    hp = {"valid": valid, "prim_type": prim_type, "mat": jnp.zeros_like(i)}
+
+    def msel(type_id, m_i):
+        hp["mat"] = jnp.where(valid & (prim_type == type_id), m_i, hp["mat"])
+
+    if ns:
+        si = jnp.clip(prim_idx, 0, ns - 1)
+        hp["sph_c"] = scene.spheres.center[si]
+        hp["sph_r"] = scene.spheres.radius[si]
+        msel(SPHERE, scene.spheres.mat[si])
+    if nb:
+        bi = jnp.clip(prim_idx, 0, nb - 1)
+        hp["box_lo"] = scene.boxes.bmin[bi]
+        hp["box_hi"] = scene.boxes.bmax[bi]
+        msel(BOX, scene.boxes.mat[bi])
+    if nc:
+        ci = jnp.clip(prim_idx, 0, nc - 1)
+        hp["cyl_b"] = scene.cylinders.base[ci]
+        hp["cyl_a"] = scene.cylinders.axis[ci]
+        hp["cyl_r"] = scene.cylinders.radius[ci]
+        hp["cyl_rot"] = scene.cylinders.rot[ci]
+        msel(CYLINDER, scene.cylinders.mat[ci])
+    if scene.triangles.mat.shape[0] and scene.tri_bvh is not None:
+        slot = jnp.clip(i - (ns + nb + nc), 0,
+                        scene.tri_bvh.tri_index.shape[0] - 1)
+        ti = jnp.maximum(scene.tri_bvh.tri_index[slot], 0)
+        hp["tri_v0"] = scene.triangles.v0[ti]
+        hp["tri_v1"] = scene.triangles.v1[ti]
+        hp["tri_v2"] = scene.triangles.v2[ti]
+        msel(TRIANGLE, scene.triangles.mat[ti])
+    return hp
+
+
+def hit_from_params(scene: Scene, hp, ro, rd, t_min) -> Hit:
+    """Gather-free hit recompute from prefetched winner params (the
+    in-scan half of the prefetch_hit_params split). Pure per-ray math —
+    identical results to hit_from_ids."""
+    R = ro.shape[0]
+    t = jnp.full((R,), INF)
+    normal = jnp.zeros((R, 3))
+    inner = jnp.zeros((R,), bool)
+    valid = hp["valid"]
+    prim_type = hp["prim_type"]
+
+    def blend(type_id, t_i, n_i, inner_i):
+        nonlocal t, normal, inner
+        sel = valid & (prim_type == type_id)
+        t = jnp.where(sel, t_i, t)
+        normal = jnp.where(sel[..., None], n_i, normal)
+        inner = jnp.where(sel, inner_i, inner)
+
+    if "sph_c" in hp:
+        blend(SPHERE, *sphere_hit_one(hp["sph_c"], hp["sph_r"], ro, rd, t_min))
+    if "box_lo" in hp:
+        blend(BOX, *box_hit_one(hp["box_lo"], hp["box_hi"], ro, rd, t_min))
+    if "cyl_b" in hp:
+        blend(CYLINDER, *cylinder_hit_one(
+            hp["cyl_b"], hp["cyl_a"], hp["cyl_r"], hp["cyl_rot"],
+            ro, rd, t_min))
+    if "tri_v0" in hp:
+        blend(TRIANGLE, *triangle_hit_one(
+            hp["tri_v0"], hp["tri_v1"], hp["tri_v2"], ro, rd, t_min))
+
+    nlen = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(nlen, 1e-12)
+    return Hit(t=t, normal=normal, mat=hp["mat"], inner=inner & valid,
+               valid=valid)
 
 
 def refine_hit(scene: Scene, ro, rd, t_min, prim_type, prim_idx, valid) -> Hit:

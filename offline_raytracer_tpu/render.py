@@ -85,6 +85,16 @@ def render_block(scene: Scene, cfg: RenderConfig, pixel_ids, sample_lo: int, n_s
         radiance = paths(ro, rd, ps_keys)
         return accum + radiance, None
 
+    # Small chunks run UNROLLED: on TPU, gathers and big dynamic slices
+    # degrade badly inside lax.scan (r4 profiling) and the whole path
+    # tracer — including the megakernel host loop's compaction sorts —
+    # would otherwise sit inside the loop body. Large chunks keep the
+    # scan so compile size stays bounded.
+    if n_samples <= 4:
+        accum = jnp.zeros((P, 3))
+        for k in range(n_samples):
+            accum, _ = one_sample(accum, sample_lo + k)
+        return accum / n_samples
     accum, _ = jax.lax.scan(
         one_sample, jnp.zeros((P, 3)), sample_lo + jnp.arange(n_samples))
     return accum / n_samples
@@ -237,10 +247,14 @@ def render_block_stats(scene, cfg, pixel_ids, sample_lo: int, n_samples: int):
         radiance, alive = paths(ro, rd, ps_keys, collect_stats=True)
         return (accum + radiance, alive_acc + alive), None
 
+    carry = (jnp.zeros((P, 3)), jnp.zeros((cfg.max_bounces,)))
+    if n_samples <= 4:   # unrolled: see render_block
+        for k in range(n_samples):
+            carry, _ = one_sample(carry, sample_lo + k)
+        accum, alive_acc = carry
+        return accum / n_samples, alive_acc
     (accum, alive_acc), _ = jax.lax.scan(
-        one_sample,
-        (jnp.zeros((P, 3)), jnp.zeros((cfg.max_bounces,))),
-        sample_lo + jnp.arange(n_samples))
+        one_sample, carry, sample_lo + jnp.arange(n_samples))
     return accum / n_samples, alive_acc
 
 
