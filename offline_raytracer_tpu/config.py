@@ -59,6 +59,13 @@ class RenderConfig:
 
     # execution
     ray_batch: int = 1 << 17       # rays per device step (pixels*spp chunked)
+    mega_trip_leaves: int = 2      # megakernel walk: leaves visited per
+    #                                while-loop trip (amortizes the loop
+    #                                handshake; tail visits are wasted work)
+    mega_sort_after: int = 3       # megakernel host loop: coherence-
+    #                                compact the wavefront after bounces
+    #                                0..N-1 (later sorts cost more than the
+    #                                sweep work they save)
     use_pallas: bool = True        # pallas megakernel on TPU (auto-
     #                                fallback: CPU backend or BVH > VMEM)
     traversal: str = "auto"        # "auto" | "mega" | "cull" | "packet" |
@@ -74,7 +81,7 @@ class RenderConfig:
     # knobs that change only scheduling/perf, never the estimate — excluded
     # from checkpoint resume-compat comparison (utils/checkpoint._meta_of)
     PERF_ONLY = ("ray_batch", "use_pallas", "traversal", "sort_rays",
-                 "max_stack_depth")
+                 "max_stack_depth", "mega_trip_leaves", "mega_sort_after")
 
     def __post_init__(self):
         if self.traversal not in ("auto", "mega", "cull", "packet", "jnp"):

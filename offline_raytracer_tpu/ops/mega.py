@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -51,6 +52,12 @@ BLOCK = SUB * LANE
 PI = 3.14159265358979
 
 PARK = 1e8  # parked-lane origin (integrator.PARK_ORIGIN)
+
+import os as _os0
+_MXU_PREC = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}[
+    _os0.environ.get("MEGA_MXU_PREC", "highest")]
 
 # consts row layout (built by pack_consts; offsets in MegaMeta)
 N_SPH_ROWS = 5    # cx cy cz r mat
@@ -92,6 +99,14 @@ def mega_ok(scene, cfg) -> bool:
     bvh = scene.tri_bvh
     if scene.triangles.mat.shape[0] > 0:
         if bvh is None or not (tc.cull_ok(bvh) and tc.fits_vmem(bvh)):
+            return False
+        # this kernel's own footprint: the leaf-major (L, 16, 128) stack
+        # is 16/12 of the cull kernel's coefficient planes
+        from offline_raytracer_tpu.ops.traverse_pallas import VMEM_BUDGET
+        L = bvh.leaf_bounds.shape[1]
+        leafmm_bytes = L * 8 * 3 * LANE * 4
+        temps = 8 * LANE * LANE * 4
+        if leafmm_bytes + temps + (1 << 20) >= VMEM_BUDGET:
             return False
     return True
 
@@ -404,7 +419,7 @@ def sample_bsdf_pl(e0, e1, choice, n, wo, mp):
 
 
 def _mega_kernel(
-    rays_ref, u_ref, ls_ref, planes_ref, matp_ref, leaf_ref, consts_ref,
+    rays_ref, u_ref, ls_ref, leafmm_ref, leaf_ref, consts_ref,
     out_ref, rad_ref, cnt_ref,
     st, hv, hm, hi, sh, kf,
     *, meta: MegaMeta, L: int, m_occ: int, has_tris: bool,
@@ -412,6 +427,8 @@ def _mega_kernel(
     rr_p: float, rr_on: bool, do_nee: bool, do_mis: bool,
     ref_rr_quirk: bool = False,
     trip_leaves: int = 2,
+    kf_lane: bool = True, extract_enc: bool = True, use_mxu: bool = True,
+    ablate: str = "none",
     debug_counters: bool = False, interpret_exact: bool = False,
 ):
     """ONE bounce for one (SUB, 128)-ray block.
@@ -571,6 +588,13 @@ def _mega_kernel(
     KEY_MASK = 4095          # low bits carry the leaf id (L <= 4096)
     KEY_NONE = jnp.int32(0x7F800000)   # +inf bits: decodes ABOVE any
     #                  finite bound incl. the INF miss-t (3.4e38) — "no leaf"
+    LR = L // LANE           # kf rows: keys live LANE-MAJOR (LR, 128)
+    LANE_MASK = 127          # low bits of a hit-t encoding carry the lane
+    # any encoded hit-t at or above this is the INF miss sentinel: the
+    # sentinel is a FINITE float, so its lane-cleared encoding rounds
+    # BELOW the sentinel itself and would otherwise fake a "better" hit
+    INF_ENC = jnp.int32(
+        int(_np.array(INF, _np.float32).view(_np.int32)) & ~LANE_MASK)
 
     def enc_bound(row):
         """(1,N) nonneg f32 plane -> its max, as ENCODED int32 scalar.
@@ -612,6 +636,18 @@ def _mega_kernel(
         enc = (bits & ~KEY_MASK) | iota_L
         return jnp.where((iota_L < m_occ) & (nearr < INF), enc, KEY_NONE)
 
+    def pairs3(rx3, ry3, rz3, tx, ty, tz, cc=None):
+        # rx3.. are the walk-hoisted (1, 128, 1) ray components: the
+        # lane->sublane broadcast relayout happens ONCE per walk instead
+        # of 18x per visit (Mosaic does not hoist it out of the while
+        # body when the source is a dynamic-sublane row slice — measured
+        # ~7x per-visit cost on chip, r5)
+        out = (rx3 * tx[None, None, :] + ry3 * ty[None, None, :]
+               + rz3 * tz[None, None, :])
+        if cc is not None:
+            out = out + cc[None, None, :]
+        return out
+
     def pairs(rx, ry, rz, tx, ty, tz, cc=None):
         out = (rx[:, :, None] * tx[None, None, :]
                + ry[:, :, None] * ty[None, None, :]
@@ -620,15 +656,51 @@ def _mega_kernel(
             out = out + cc[None, None, :]
         return out
 
-    def leaf_sweep(leaf, rox, roy, roz, rdx, rdy, rdz, bound):
-        """One 128-triangle leaf vs a 128-ray row: (tmin, lane-mask, t3d)."""
-        coeff = planes_ref[:, pl.ds(leaf, 1), :]   # one (12,1,128) slice
-        row = lambda k: coeff[k, 0, :]
-        s1x, s1y, s1z, c1 = row(0), row(1), row(2), row(3)
-        s2x, s2y, s2z, c2 = row(4), row(5), row(6), row(7)
-        nx, ny, nz, cw = row(8), row(9), row(10), row(11)
-        o_w = pairs(rox, roy, roz, nx, ny, nz, cw)
-        d_w = pairs(rdx, rdy, rdz, nx, ny, nz)
+    def leaf_sweep(leaf, r3, bound, a8t=None):
+        """One 128-triangle leaf vs a 128-ray row -> (t (1,128,128), coeff).
+
+        coeff is the leaf's (1, 8, 384) slice of the leaf-major stack:
+        rows 0-3 = [s1;c1 | s2;c2 | n;cw] O-side coefficient blocks,
+        rows 4-7 = the D-side blocks (row 7 dead except material ids in
+        its plane block). ONE leading-axis dynamic slice — a tile-aligned
+        base-offset add.
+
+        When ``a8t`` (the (128, 8) transposed [o,1,d,0] ray matrix, built
+        once per walk) is given, the six coefficient contractions run as
+        TWO (128,4)@(4,384) MXU matmuls — measured ~free next to the VPU
+        broadcast-FMA form they replace (which was ~750ns/visit, the
+        entire sweep cost).
+        """
+        coeff = leafmm_ref[pl.ds(leaf, 1)]         # one (1,8,384) slice
+        if a8t is not None and not interpret_exact:
+            O = jax.lax.dot_general(
+                a8t[:, 0:4], coeff[0, 0:4, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PREC)   # (128, 384)
+            D = jax.lax.dot_general(
+                a8t[:, 4:8], coeff[0, 4:8, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PREC)
+            o_u = O[:, 0:LANE][None]
+            o_v = O[:, LANE:2 * LANE][None]
+            o_w = O[:, 2 * LANE:][None]
+            d_u = D[:, 0:LANE][None]
+            d_v = D[:, LANE:2 * LANE][None]
+            d_w = D[:, 2 * LANE:][None]
+        else:
+            ox3, oy3, oz3, dx3, dy3, dz3 = r3
+            row = lambda k: coeff[0, k % 4, (k // 4) * LANE:(k // 4 + 1) * LANE]
+            s1x, s1y, s1z, c1 = row(0), row(1), row(2), row(3)
+            s2x, s2y, s2z, c2 = row(4), row(5), row(6), row(7)
+            nx, ny, nz, cw = row(8), row(9), row(10), row(11)
+            o_w = pairs3(ox3, oy3, oz3, nx, ny, nz, cw)
+            d_w = pairs3(dx3, dy3, dz3, nx, ny, nz)
+            o_u = pairs3(ox3, oy3, oz3, s1x, s1y, s1z, c1)
+            d_u = pairs3(dx3, dy3, dz3, s1x, s1y, s1z)
+            o_v = pairs3(ox3, oy3, oz3, s2x, s2y, s2z, c2)
+            d_v = pairs3(dx3, dy3, dz3, s2x, s2y, s2z)
         ok_w = jnp.abs(d_w) > 1e-12
         # approx reciprocal (~2^-12 rel err): the one full-latency ALU op
         # in the sweep; hit-t error is orders below the t_min/hit_eps slack
@@ -636,15 +708,15 @@ def _mega_kernel(
             t = -o_w / jnp.where(ok_w, d_w, 1.0)
         else:
             t = -o_w * pl.reciprocal(jnp.where(ok_w, d_w, 1.0), approx=True)
-        u = (pairs(rox, roy, roz, s1x, s1y, s1z, c1)
-             + t * pairs(rdx, rdy, rdz, s1x, s1y, s1z))
-        v = (pairs(rox, roy, roz, s2x, s2y, s2z, c2)
-             + t * pairs(rdx, rdy, rdz, s2x, s2y, s2z))
+        u = o_u + t * d_u
+        v = o_v + t * d_v
         ok = (ok_w & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t >= t_min) & (t < bound[:, :, None]))
+              & (t >= t_min) & (t < bound))     # bound is (1, 128, 1)
         return jnp.where(ok, t, INF), coeff
 
-    # The per-leaf visit keys live in VMEM scratch kf, (1, L) lane-major.
+    # The per-leaf visit keys live in VMEM scratch kf, (L/128, 128)
+    # LANE-MAJOR (r5: the old (L, 1) sublane-major buffer used 1 of 128
+    # lanes and made every per-visit min-reduction a ~68-tile crawl).
     # Leaves are visited FRONT TO BACK (min key first, knocked out to INF
     # after each visit); closest-hit terminates once the nearest remaining
     # leaf lies beyond every lane's current best — the packet analog of
@@ -661,7 +733,35 @@ def _mega_kernel(
     # what the walk's cost follows, and the exact cull minimizes it.
 
     def _knock(leaf):
-        kf[pl.ds(leaf, 1), :] = jnp.full((1, 1), KEY_NONE, jnp.int32)
+        # keys carry their leaf id in the low bits, so the knock-out is a
+        # value match — a dense (LR, 128) select, no positional indexing.
+        # (KEY_NONE's low bits alias leaf 0; rewriting KEY_NONE->KEY_NONE
+        # is harmless.)
+        if kf_lane:
+            kf[:, :] = jnp.where((kf[:, :] & KEY_MASK) == leaf,
+                                 KEY_NONE, kf[:, :])
+        else:
+            kf[pl.ds(leaf, 1), :] = jnp.full((1, 1), KEY_NONE, jnp.int32)
+
+    def _store_keys(keys_col):
+        if ablate == "nokeys":
+            kf[:, :] = jnp.full(kf.shape, KEY_NONE, jnp.int32)
+            return
+        kf[:, :] = keys_col.reshape(LR, LANE) if kf_lane else keys_col
+        if ablate == "nowalk":
+            kf[:, :] = jnp.full(kf.shape, KEY_NONE, jnp.int32)
+
+    lane_iota3 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, LANE), 2)
+
+    def _ray_matrix(rox, roy, roz, rdx, rdy, rdz):
+        """(128, 8) [o,1,d,0] matrix for the MXU sweep — ONE (8,128)
+        transpose per walk (None when the VPU sweep form is active)."""
+        if not use_mxu:
+            return None
+        ones = jnp.ones_like(rox)
+        a8 = jnp.concatenate(
+            [rox, roy, roz, ones, rdx, rdy, rdz, ones * 0.0], 0)  # (8,128)
+        return jnp.transpose(a8, (1, 0))
 
     def tri_closest_rows():
         def row_fn(r, _):
@@ -676,33 +776,73 @@ def _mega_kernel(
             # all-dead rows (compaction tails) skip cull + walk entirely
             @pl.when(jnp.max(bt0) > 0.0)
             def _():
-                kf[:, :] = row_cull(rox, roy, roz, rdx, rdy, rdz, bt0)
+                _store_keys(row_cull(rox, roy, roz, rdx, rdy, rdz, bt0))
+                a8t = _ray_matrix(rox, roy, roz, rdx, rdy, rdz)
+                r3 = tuple(x[:, :, None] for x in
+                           (rox, roy, roz, rdx, rdy, rdz))
 
                 def cond(c):
                     mn, it, bt = c[0], c[1], c[2]
                     return (mn & ~KEY_MASK) < enc_bound(bt)
 
+                # The walk carry lives in the sweep's NATIVE (1, 128, 1)
+                # ray-on-sublane layout: every reduction keeps dims and
+                # every compare/select broadcasts in place, so a visit
+                # does NO lane<->sublane relayouts (the old (1, 128)
+                # lane-major carry forced one per reduction/compare —
+                # measured ~2 us/visit of relayout stalls on chip, r5).
                 def visit(leaf, guard, bt, bnx, bny, bnz, bm, bid):
                     bound = jnp.where(guard, bt, 0.0)
-                    t, coeff = leaf_sweep(
-                        leaf, rox, roy, roz, rdx, rdy, rdz, bound)
-                    tmin = t.min(-1)
+                    t, coeff = leaf_sweep(leaf, r3, bound, a8t)
+                    # winner attrs: normals = O-side plane block rows 0-2,
+                    # material = the D-side dead row's plane block
+                    nrow = lambda j: coeff[0, j, 2 * LANE:][None, None, :]
+                    mrow = coeff[0, 7, 2 * LANE:][None, None, :]
+                    if extract_enc:
+                        enc = (jax.lax.bitcast_convert_type(t, jnp.int32)
+                               & ~LANE_MASK) | lane_iota3
+                        m = jnp.min(enc, -1, keepdims=True)   # (1,128,1)
+                        win_t = jax.lax.bitcast_convert_type(
+                            m & ~LANE_MASK, jnp.float32)
+                        better = (m < INF_ENC) & (win_t < bt)
+                        lane_w = m & LANE_MASK
+                        msk = better & (lane_iota3 == lane_w)
+                        nxv = jnp.sum(jnp.where(msk, nrow(0), 0.0), -1,
+                                      keepdims=True)
+                        nyv = jnp.sum(jnp.where(msk, nrow(1), 0.0), -1,
+                                      keepdims=True)
+                        nzv = jnp.sum(jnp.where(msk, nrow(2), 0.0), -1,
+                                      keepdims=True)
+                        mv = jnp.sum(jnp.where(msk, mrow, 0.0), -1,
+                                     keepdims=True)
+                        # hit record: slot id = tri_base + leaf*128 + lane
+                        idv = meta.tri_base + leaf * LANE + lane_w
+                        return (jnp.where(better, win_t, bt),
+                                jnp.where(better, nxv, bnx),
+                                jnp.where(better, nyv, bny),
+                                jnp.where(better, nzv, bnz),
+                                jnp.where(better, mv, bm),
+                                jnp.where(better, idv, bid))
+
+                    tmin = t.min(-1, keepdims=True)           # (1,128,1)
                     better = tmin < bt
+                    if ablate == "noattr":
+                        return (jnp.where(tmin < -1.0, tmin, bt), bnx, bny,
+                                bnz, bm, bid)
 
                     def with_attrs(_):
-                        lane_iota = jax.lax.broadcasted_iota(
-                            jnp.int32, t.shape, 2)
                         lane = jnp.min(
-                            jnp.where(t <= tmin[:, :, None], lane_iota,
-                                      BIGI), -1)
-                        msk = lane_iota == lane[:, :, None]
-                        nrow = lambda k: coeff[k, 0, :][None, None, :]
-                        nxv = jnp.sum(jnp.where(msk, nrow(8), 0.0), -1)
-                        nyv = jnp.sum(jnp.where(msk, nrow(9), 0.0), -1)
-                        nzv = jnp.sum(jnp.where(msk, nrow(10), 0.0), -1)
-                        mrow = matp_ref[leaf, :][None, None, :]
-                        mv = jnp.sum(jnp.where(msk, mrow, 0), -1)
-                        # hit record: BVH slot id = tri_base + leaf*128+lane
+                            jnp.where(t <= tmin, lane_iota3, BIGI), -1,
+                            keepdims=True)
+                        msk = lane_iota3 == lane
+                        nxv = jnp.sum(jnp.where(msk, nrow(0), 0.0), -1,
+                                      keepdims=True)
+                        nyv = jnp.sum(jnp.where(msk, nrow(1), 0.0), -1,
+                                      keepdims=True)
+                        nzv = jnp.sum(jnp.where(msk, nrow(2), 0.0), -1,
+                                      keepdims=True)
+                        mv = jnp.sum(jnp.where(msk, mrow, 0.0), -1,
+                                     keepdims=True)
                         idv = meta.tri_base + leaf * LANE + lane
                         return (jnp.where(better, tmin, bt),
                                 jnp.where(better, nxv, bnx),
@@ -733,21 +873,24 @@ def _mega_kernel(
                     return (jnp.min(kf[:, :]), it + float(trip_leaves),
                             bt, bnx, bny, bnz, bm, bid)
 
-                init = (jnp.min(kf[:, :]), jnp.float32(0.0), bt0,
-                        hv[1, pl.ds(r, 1), :], hv[2, pl.ds(r, 1), :],
-                        hv[3, pl.ds(r, 1), :], hm[pl.ds(r, 1), :],
-                        hi[pl.ds(r, 1), :])
+                init = (jnp.min(kf[:, :]), jnp.float32(0.0),
+                        bt0[:, :, None],
+                        hv[1, pl.ds(r, 1), :][:, :, None],
+                        hv[2, pl.ds(r, 1), :][:, :, None],
+                        hv[3, pl.ds(r, 1), :][:, :, None],
+                        hm[pl.ds(r, 1), :].astype(jnp.float32)[:, :, None],
+                        hi[pl.ds(r, 1), :][:, :, None])
                 _, it, bt, bnx, bny, bnz, bm, bid = jax.lax.while_loop(
                     cond, body, init)
                 if debug_counters:   # CPU-interpret profiling only: the
                     # SMEM accumulation stalls the Mosaic compile on TPUs
                     cnt_ref[0, 0, 0] += it
-                hv[0, pl.ds(r, 1), :] = bt
-                hv[1, pl.ds(r, 1), :] = bnx
-                hv[2, pl.ds(r, 1), :] = bny
-                hv[3, pl.ds(r, 1), :] = bnz
-                hm[pl.ds(r, 1), :] = bm
-                hi[pl.ds(r, 1), :] = bid
+                hv[0, pl.ds(r, 1), :] = bt[:, :, 0]
+                hv[1, pl.ds(r, 1), :] = bnx[:, :, 0]
+                hv[2, pl.ds(r, 1), :] = bny[:, :, 0]
+                hv[3, pl.ds(r, 1), :] = bnz[:, :, 0]
+                hm[pl.ds(r, 1), :] = bm[:, :, 0].astype(jnp.int32)
+                hi[pl.ds(r, 1), :] = bid[:, :, 0]
             return 0
 
         jax.lax.fori_loop(0, SUB, row_fn, 0)
@@ -766,14 +909,19 @@ def _mega_kernel(
 
             @pl.when(jnp.max(tfb) > 0.0)
             def _():
-                kf[:, :] = row_cull(rox, roy, roz, rdx, rdy, rdz, tfb)
+                _store_keys(row_cull(rox, roy, roz, rdx, rdy, rdz, tfb))
+                a8t = _ray_matrix(rox, roy, roz, rdx, rdy, rdz)
+                r3 = tuple(x[:, :, None] for x in
+                           (rox, roy, roz, rdx, rdy, rdz))
+
+                tfb_s = tfb[:, :, None]          # (1, 128, 1) sublane form
 
                 def cond(c):
                     mn, it, occ = c
                     # a leaf farther than every unresolved lane's light
                     # distance cannot occlude anything that still matters
                     return (mn & ~KEY_MASK) < enc_bound(
-                        jnp.where(occ < 0.5, tfb, 0.0))
+                        jnp.where(occ < 0.5, tfb_s, 0.0))
 
                 def body(c):
                     mn, it, occ = c
@@ -785,19 +933,19 @@ def _mega_kernel(
                         gate = (occ > 0.5) if k == 0 else (
                             (occ > 0.5) | (cur >= KEY_NONE))
                         _knock(leaf)
-                        bound = jnp.where(gate, 0.0, tfb)
-                        t, _ = leaf_sweep(
-                            leaf, rox, roy, roz, rdx, rdy, rdz, bound)
+                        bound = jnp.where(gate, 0.0, tfb_s)
+                        t, _ = leaf_sweep(leaf, r3, bound, a8t)
                         occ = jnp.maximum(
-                            occ, jnp.any(t < INF, -1).astype(jnp.float32))
+                            occ, jnp.any(t < INF, -1, keepdims=True)
+                            .astype(jnp.float32))
                     return jnp.min(kf[:, :]), it + float(trip_leaves), occ
 
                 _, it, occ = jax.lax.while_loop(
                     cond, body, (jnp.min(kf[:, :]), jnp.float32(0.0),
-                                 occ0))
+                                 occ0[:, :, None]))
                 if debug_counters:
                     cnt_ref[0, 0, 1] += it
-                sh[7, pl.ds(r, 1), :] = occ
+                sh[7, pl.ds(r, 1), :] = occ[:, :, 0]
             return 0
 
         jax.lax.fori_loop(0, SUB, row_fn, 0)
@@ -1021,7 +1169,24 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
     from offline_raytracer_tpu.utils import rng
 
     import os as _os
-    trip_leaves = int(_os.environ.get("MEGA_TRIP_LEAVES", "2"))
+    # perf knobs live in RenderConfig (recorded by parity/bench configs);
+    # the env vars remain as experiment-time overrides (read at TRACE time:
+    # changing them mid-process does not retrace cached jits)
+    trip_leaves = int(
+        _os.environ.get("MEGA_TRIP_LEAVES", cfg.mega_trip_leaves))
+    # r5 A/B on chip: cond-gated attr extraction beats the branch-free
+    # encoded-winner update by ~40% at bounce 1 (most visits improve no
+    # lane, and lax.cond skips their whole extraction); lane-major keys
+    # are a small win. Env overrides kept for experiments.
+    kf_lane = _os.environ.get("MEGA_KF", "lane") == "lane"
+    extract_enc = _os.environ.get("MEGA_EXTRACT", "cond") == "enc"
+    # MXU sweep rejected on measurement (r5): in this serial walk the two
+    # (128,4)@(4,384) dots pay MXU *latency* per visit (nothing to
+    # pipeline against) and f32-HIGHEST is 6 passes — 310ms vs 223ms
+    # whole-sample; DEFAULT precision is wrong (bf16 hit-t). Kept behind
+    # the env switch for re-evaluation on hardware with faster small-K.
+    use_mxu = _os.environ.get("MEGA_SWEEP", "vpu") == "mxu"
+    ablate = _os.environ.get("MEGA_ABLATE", "none")
 
     R = ro.shape[0]
     B = cfg.max_bounces
@@ -1038,18 +1203,31 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
     has_tris = scene.triangles.mat.shape[0] > 0
     if has_tris:
         bvh: TriBVH = scene.tri_bvh
-        planes = bvh.planes
-        matp = bvh.mat.reshape(planes.shape[1], LANE)
         lb = bvh.leaf_bounds                       # (6, L_lane) rows
-        L = lb.shape[1]
+        L = lb.shape[1]                            # multiple of LANE
         m_occ = bvh.m_occ
+        # leaf-major MATMUL coefficient stack (L, 8, 384): per leaf, rows
+        # 0-3 = the O-side column blocks [s1;c1 | s2;c2 | n;cw] and rows
+        # 4-7 = the D-side blocks [s1;0 | s2;0 | n;0] (material ids ride
+        # in the dead row 7's plane block, exact below 2^24), so a visit
+        # is ONE leading-axis dynamic slice + two (128,4)@(4,384) MXU
+        # matmuls against the [o,1,d,0] ray matrix
+        M = bvh.planes.shape[1]
+        core = (bvh.planes.reshape(3, 4, M, LANE)
+                .transpose(2, 1, 0, 3).reshape(M, 4, 3 * LANE))
+        matrow = jnp.concatenate(
+            [jnp.zeros((M, 1, 2 * LANE), jnp.float32),
+             bvh.mat.reshape(M, LANE).astype(jnp.float32)[:, None, :]], 2)
+        leafmm = jnp.concatenate([core, core[:, 0:3], matrow], 1)
+        if M < L:   # sublane-aligned M is never above lane-aligned L
+            leafmm = jnp.concatenate(
+                [leafmm, jnp.zeros((L - M, 8, 3 * LANE), jnp.float32)])
         leaf_cols = jnp.concatenate(
             [lb.T, jnp.zeros((L, 2), lb.dtype)], 1)  # (L, 8)
     else:
-        planes = jnp.zeros((12, 8, LANE), jnp.float32)
-        matp = jnp.zeros((8, LANE), jnp.int32)
-        L = 8
+        L = LANE
         m_occ = 0
+        leafmm = jnp.zeros((L, 8, 3 * LANE), jnp.float32)
         leaf_cols = jnp.concatenate(
             [jnp.full((L, 3), INF, jnp.float32),
              jnp.full((L, 3), -INF, jnp.float32),
@@ -1067,16 +1245,21 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
         return jnp.concatenate(
             [ls.p.T, ls.normal.T, ls.emit.T, ls.pdf_area[None]], 0)
 
-    def bounce_call(state, u8p, lsp, rr_on):
+    tri_off_after = int(_os.environ.get("MEGA_TRI_OFF_AFTER", "99"))
+
+    def bounce_call(state, u8p, lsp, rr_on, b=0):
         """state: (11, Rp); u8p: (8, Rp); lsp: (10, Rp) planes
         -> (state', rad_delta+records, dbg)."""
         kernel = functools.partial(
-            _mega_kernel, meta=meta, L=L, m_occ=m_occ, has_tris=has_tris,
+            _mega_kernel, meta=meta, L=L, m_occ=m_occ,
+            has_tris=has_tris and b < tri_off_after,
             t_min=float(cfg.t_min), hit_eps=float(cfg.hit_eps),
             rr_p=float(cfg.russian_roulette), rr_on=rr_on,
             do_nee=do_nee, do_mis=do_nee and cfg.enable_mis,
             ref_rr_quirk=cfg.reference_rr_quirk,
             trip_leaves=trip_leaves,
+            kf_lane=kf_lane, extract_enc=extract_enc, use_mxu=use_mxu,
+            ablate=ablate,
             debug_counters=debug_counters, interpret_exact=interpret)
         full4 = lambda shp: pl.BlockSpec(
             shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)
@@ -1093,8 +1276,7 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 10, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                full4(planes.shape),
-                full4(matp.shape),
+                full4(leafmm.shape),
                 full4(leaf_cols.shape),
                 pl.BlockSpec(consts.shape, lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -1118,10 +1300,11 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
                 pltpu.VMEM((SUB, LANE), jnp.int32),
                 pltpu.VMEM((SUB, LANE), jnp.int32),
                 pltpu.VMEM((8, SUB, LANE), jnp.float32),
-                pltpu.VMEM((L, 1), jnp.int32),
+                pltpu.VMEM((L // LANE, LANE) if kf_lane else (L, 1),
+                           jnp.int32),
             ],
             interpret=interpret,
-        )(st_in, u_in, ls_in, planes, matp, leaf_cols, consts)
+        )(st_in, u_in, ls_in, leafmm, leaf_cols, consts)
         return (out.transpose(1, 0, 2, 3).reshape(11, Rp),
                 rad.transpose(1, 0, 2, 3).reshape(5, Rp),
                 cnt[:, 0, :].sum(0))
@@ -1190,13 +1373,14 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
 
     # coherence re-sorts pay off only while the wavefront is large: after
     # bounce ~3 the population is a few % and the 262k-element argsort +
-    # gathers (~8 ms on a v5e) dwarf the sweep work they save
-    sort_after = min(B - 1, int(_os.environ.get("MEGA_SORT_AFTER", "3")))
+    # gathers (~4 ms on a v5e) dwarf the sweep work they save
+    sort_after = min(B - 1, int(
+        _os.environ.get("MEGA_SORT_AFTER", cfg.mega_sort_after)))
     for b in range(B):
         u8p = rng.tagged_uniform_planes(keys_cur, b, 8)
         state, rad_delta, d2 = bounce_call(
             state, u8p, light_sample_planes(u8p),
-            rr_on=b >= cfg.rr_start_bounce)
+            rr_on=b >= cfg.rr_start_bounce, b=b)
         rad_acc = rad_acc + rad_delta[0:3]
         if collect_records:
             # scatter back to original ray order through the current perm
