@@ -59,7 +59,7 @@ class RenderConfig:
 
     # execution
     ray_batch: int = 1 << 17       # rays per device step (pixels*spp chunked)
-    mega_trip_leaves: int = 2      # megakernel walk: leaves visited per
+    mega_trip_leaves: int = 4      # megakernel walk: leaves visited per
     #                                while-loop trip (amortizes the loop
     #                                handshake; tail visits are wasted work)
     mega_sort_after: int = 3       # megakernel host loop: coherence-

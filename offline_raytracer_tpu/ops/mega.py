@@ -44,20 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from offline_raytracer_tpu.ops.bvh import TriBVH
 
+import os as _os0
+
 INF = 3.4e38
 BIGI = 1 << 30
 LANE = 128
-SUB = 8
+SUB = int(_os0.environ.get("MEGA_SUB", "8"))
 BLOCK = SUB * LANE
 PI = 3.14159265358979
 
 PARK = 1e8  # parked-lane origin (integrator.PARK_ORIGIN)
 
-import os as _os0
-_MXU_PREC = {"default": jax.lax.Precision.DEFAULT,
-             "high": jax.lax.Precision.HIGH,
-             "highest": jax.lax.Precision.HIGHEST}[
-    _os0.environ.get("MEGA_MXU_PREC", "highest")]
 
 # consts row layout (built by pack_consts; offsets in MegaMeta)
 N_SPH_ROWS = 5    # cx cy cz r mat
@@ -100,11 +97,11 @@ def mega_ok(scene, cfg) -> bool:
     if scene.triangles.mat.shape[0] > 0:
         if bvh is None or not (tc.cull_ok(bvh) and tc.fits_vmem(bvh)):
             return False
-        # this kernel's own footprint: the leaf-major (L, 16, 128) stack
-        # is 16/12 of the cull kernel's coefficient planes
+        # this kernel's own footprint: the leaf-major (M, 8, 256) stack
+        # is 8*256/13*128 ~= 1.23x the cull kernel's coefficient planes
         from offline_raytracer_tpu.ops.traverse_pallas import VMEM_BUDGET
-        L = bvh.leaf_bounds.shape[1]
-        leafmm_bytes = L * 8 * 3 * LANE * 4
+        M = bvh.planes.shape[1]
+        leafmm_bytes = M * 8 * 2 * LANE * 4
         temps = 8 * LANE * LANE * 4
         if leafmm_bytes + temps + (1 << 20) >= VMEM_BUDGET:
             return False
@@ -424,10 +421,11 @@ def _mega_kernel(
     st, hv, hm, hi, sh, kf,
     *, meta: MegaMeta, L: int, m_occ: int, has_tris: bool,
     t_min: float, hit_eps: float,
-    rr_p: float, rr_on: bool, do_nee: bool, do_mis: bool,
+    rr_p: float, b_start: int, rr_start: int, n_fused: int,
+    do_nee: bool, do_mis: bool,
     ref_rr_quirk: bool = False,
     trip_leaves: int = 2,
-    kf_lane: bool = True, extract_enc: bool = True, use_mxu: bool = True,
+    kf_lane: bool = True, extract_enc: bool = True,
     ablate: str = "none",
     debug_counters: bool = False, interpret_exact: bool = False,
 ):
@@ -589,6 +587,7 @@ def _mega_kernel(
     KEY_NONE = jnp.int32(0x7F800000)   # +inf bits: decodes ABOVE any
     #                  finite bound incl. the INF miss-t (3.4e38) — "no leaf"
     LR = L // LANE           # kf rows: keys live LANE-MAJOR (LR, 128)
+    M_LEAF = leafmm_ref.shape[0]   # clamp domain for coefficient slices
     LANE_MASK = 127          # low bits of a hit-t encoding carry the lane
     # any encoded hit-t at or above this is the INF miss sentinel: the
     # sentinel is a FINITE float, so its lane-cleared encoding rounds
@@ -656,51 +655,30 @@ def _mega_kernel(
             out = out + cc[None, None, :]
         return out
 
-    def leaf_sweep(leaf, r3, bound, a8t=None):
+    def leaf_sweep(leaf, r3, bound):
         """One 128-triangle leaf vs a 128-ray row -> (t (1,128,128), coeff).
 
-        coeff is the leaf's (1, 8, 384) slice of the leaf-major stack:
-        rows 0-3 = [s1;c1 | s2;c2 | n;cw] O-side coefficient blocks,
-        rows 4-7 = the D-side blocks (row 7 dead except material ids in
-        its plane block). ONE leading-axis dynamic slice — a tile-aligned
-        base-offset add.
-
-        When ``a8t`` (the (128, 8) transposed [o,1,d,0] ray matrix, built
-        once per walk) is given, the six coefficient contractions run as
-        TWO (128,4)@(4,384) MXU matmuls — measured ~free next to the VPU
-        broadcast-FMA form they replace (which was ~750ns/visit, the
-        entire sweep cost).
+        coeff is the leaf's (1, 8, 256) slice of the leaf-major stack:
+        rows 0-3 = [s1;c1 | s2;c2] column blocks, rows 4-7 block 0 =
+        [n; cw], row 4 block 1 = material ids. ONE leading-axis dynamic
+        slice — a tile-aligned base-offset add. (An MXU form — two
+        (128,4)@(4,384) dots against a [o,1,d,0] ray matrix — was
+        measured SLOWER here: the serial walk pays MXU latency per visit
+        with nothing to pipeline against, and f32-HIGHEST is 6 passes.)
         """
-        coeff = leafmm_ref[pl.ds(leaf, 1)]         # one (1,8,384) slice
-        if a8t is not None and not interpret_exact:
-            O = jax.lax.dot_general(
-                a8t[:, 0:4], coeff[0, 0:4, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PREC)   # (128, 384)
-            D = jax.lax.dot_general(
-                a8t[:, 4:8], coeff[0, 4:8, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PREC)
-            o_u = O[:, 0:LANE][None]
-            o_v = O[:, LANE:2 * LANE][None]
-            o_w = O[:, 2 * LANE:][None]
-            d_u = D[:, 0:LANE][None]
-            d_v = D[:, LANE:2 * LANE][None]
-            d_w = D[:, 2 * LANE:][None]
-        else:
-            ox3, oy3, oz3, dx3, dy3, dz3 = r3
-            row = lambda k: coeff[0, k % 4, (k // 4) * LANE:(k // 4 + 1) * LANE]
-            s1x, s1y, s1z, c1 = row(0), row(1), row(2), row(3)
-            s2x, s2y, s2z, c2 = row(4), row(5), row(6), row(7)
-            nx, ny, nz, cw = row(8), row(9), row(10), row(11)
-            o_w = pairs3(ox3, oy3, oz3, nx, ny, nz, cw)
-            d_w = pairs3(dx3, dy3, dz3, nx, ny, nz)
-            o_u = pairs3(ox3, oy3, oz3, s1x, s1y, s1z, c1)
-            d_u = pairs3(dx3, dy3, dz3, s1x, s1y, s1z)
-            o_v = pairs3(ox3, oy3, oz3, s2x, s2y, s2z, c2)
-            d_v = pairs3(dx3, dy3, dz3, s2x, s2y, s2z)
+        coeff = leafmm_ref[pl.ds(leaf, 1)]         # one (1,8,256) slice
+        ox3, oy3, oz3, dx3, dy3, dz3 = r3
+        row = lambda k: (coeff[0, k % 4, (k // 4) * LANE:(k // 4 + 1) * LANE]
+                         if k < 8 else coeff[0, 4 + (k - 8), 0:LANE])
+        s1x, s1y, s1z, c1 = row(0), row(1), row(2), row(3)
+        s2x, s2y, s2z, c2 = row(4), row(5), row(6), row(7)
+        nx, ny, nz, cw = row(8), row(9), row(10), row(11)
+        o_w = pairs3(ox3, oy3, oz3, nx, ny, nz, cw)
+        d_w = pairs3(dx3, dy3, dz3, nx, ny, nz)
+        o_u = pairs3(ox3, oy3, oz3, s1x, s1y, s1z, c1)
+        d_u = pairs3(dx3, dy3, dz3, s1x, s1y, s1z)
+        o_v = pairs3(ox3, oy3, oz3, s2x, s2y, s2z, c2)
+        d_v = pairs3(dx3, dy3, dz3, s2x, s2y, s2z)
         ok_w = jnp.abs(d_w) > 1e-12
         # approx reciprocal (~2^-12 rel err): the one full-latency ALU op
         # in the sweep; hit-t error is orders below the t_min/hit_eps slack
@@ -753,16 +731,6 @@ def _mega_kernel(
 
     lane_iota3 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, LANE), 2)
 
-    def _ray_matrix(rox, roy, roz, rdx, rdy, rdz):
-        """(128, 8) [o,1,d,0] matrix for the MXU sweep — ONE (8,128)
-        transpose per walk (None when the VPU sweep form is active)."""
-        if not use_mxu:
-            return None
-        ones = jnp.ones_like(rox)
-        a8 = jnp.concatenate(
-            [rox, roy, roz, ones, rdx, rdy, rdz, ones * 0.0], 0)  # (8,128)
-        return jnp.transpose(a8, (1, 0))
-
     def tri_closest_rows():
         def row_fn(r, _):
             rox = st[0, pl.ds(r, 1), :]
@@ -777,7 +745,6 @@ def _mega_kernel(
             @pl.when(jnp.max(bt0) > 0.0)
             def _():
                 _store_keys(row_cull(rox, roy, roz, rdx, rdy, rdz, bt0))
-                a8t = _ray_matrix(rox, roy, roz, rdx, rdy, rdz)
                 r3 = tuple(x[:, :, None] for x in
                            (rox, roy, roz, rdx, rdy, rdz))
 
@@ -793,11 +760,11 @@ def _mega_kernel(
                 # measured ~2 us/visit of relayout stalls on chip, r5).
                 def visit(leaf, guard, bt, bnx, bny, bnz, bm, bid):
                     bound = jnp.where(guard, bt, 0.0)
-                    t, coeff = leaf_sweep(leaf, r3, bound, a8t)
-                    # winner attrs: normals = O-side plane block rows 0-2,
-                    # material = the D-side dead row's plane block
-                    nrow = lambda j: coeff[0, j, 2 * LANE:][None, None, :]
-                    mrow = coeff[0, 7, 2 * LANE:][None, None, :]
+                    t, coeff = leaf_sweep(leaf, r3, bound)
+                    # winner attrs: normals = rows 4-6 block 0,
+                    # material ids = row 4 block 1
+                    nrow = lambda j: coeff[0, 4 + j, 0:LANE][None, None, :]
+                    mrow = coeff[0, 4, LANE:][None, None, :]
                     if extract_enc:
                         enc = (jax.lax.bitcast_convert_type(t, jnp.int32)
                                & ~LANE_MASK) | lane_iota3
@@ -824,17 +791,24 @@ def _mega_kernel(
                                 jnp.where(better, mv, bm),
                                 jnp.where(better, idv, bid))
 
-                    tmin = t.min(-1, keepdims=True)           # (1,128,1)
-                    better = tmin < bt
+                    # HYBRID (default): encoded winner detection every
+                    # visit (one min-reduction gives distance AND lane —
+                    # no second argmin sweep), attrs cond-gated so the
+                    # many no-improvement visits skip the 4 masked
+                    # reductions entirely.
+                    enc = (jax.lax.bitcast_convert_type(t, jnp.int32)
+                           & ~LANE_MASK) | lane_iota3
+                    m = jnp.min(enc, -1, keepdims=True)       # (1,128,1)
+                    win_t = jax.lax.bitcast_convert_type(
+                        m & ~LANE_MASK, jnp.float32)
+                    better = (m < INF_ENC) & (win_t < bt)
                     if ablate == "noattr":
-                        return (jnp.where(tmin < -1.0, tmin, bt), bnx, bny,
-                                bnz, bm, bid)
+                        return (jnp.where(win_t < -1.0, win_t, bt), bnx,
+                                bny, bnz, bm, bid)
 
                     def with_attrs(_):
-                        lane = jnp.min(
-                            jnp.where(t <= tmin, lane_iota3, BIGI), -1,
-                            keepdims=True)
-                        msk = lane_iota3 == lane
+                        lane_w = m & LANE_MASK
+                        msk = better & (lane_iota3 == lane_w)
                         nxv = jnp.sum(jnp.where(msk, nrow(0), 0.0), -1,
                                       keepdims=True)
                         nyv = jnp.sum(jnp.where(msk, nrow(1), 0.0), -1,
@@ -843,8 +817,8 @@ def _mega_kernel(
                                       keepdims=True)
                         mv = jnp.sum(jnp.where(msk, mrow, 0.0), -1,
                                      keepdims=True)
-                        idv = meta.tri_base + leaf * LANE + lane
-                        return (jnp.where(better, tmin, bt),
+                        idv = meta.tri_base + leaf * LANE + lane_w
+                        return (jnp.where(better, win_t, bt),
                                 jnp.where(better, nxv, bnx),
                                 jnp.where(better, nyv, bny),
                                 jnp.where(better, nzv, bnz),
@@ -864,7 +838,7 @@ def _mega_kernel(
                     for k in range(trip_leaves):
                         if k > 0:
                             cur = jnp.min(kf[:, :])
-                        leaf = jnp.minimum(cur & KEY_MASK, L - 1)
+                        leaf = jnp.minimum(cur & KEY_MASK, M_LEAF - 1)
                         guard = True if k == 0 else (
                             (cur & ~KEY_MASK) < enc_bound(bt))
                         _knock(leaf)
@@ -910,7 +884,6 @@ def _mega_kernel(
             @pl.when(jnp.max(tfb) > 0.0)
             def _():
                 _store_keys(row_cull(rox, roy, roz, rdx, rdy, rdz, tfb))
-                a8t = _ray_matrix(rox, roy, roz, rdx, rdy, rdz)
                 r3 = tuple(x[:, :, None] for x in
                            (rox, roy, roz, rdx, rdy, rdz))
 
@@ -929,12 +902,12 @@ def _mega_kernel(
                     for k in range(trip_leaves):
                         if k > 0:
                             cur = jnp.min(kf[:, :])
-                        leaf = jnp.minimum(cur & KEY_MASK, L - 1)
+                        leaf = jnp.minimum(cur & KEY_MASK, M_LEAF - 1)
                         gate = (occ > 0.5) if k == 0 else (
                             (occ > 0.5) | (cur >= KEY_NONE))
                         _knock(leaf)
                         bound = jnp.where(gate, 0.0, tfb_s)
-                        t, _ = leaf_sweep(leaf, r3, bound, a8t)
+                        t, _ = leaf_sweep(leaf, r3, bound)
                         occ = jnp.maximum(
                             occ, jnp.any(t < INF, -1, keepdims=True)
                             .astype(jnp.float32))
@@ -971,9 +944,14 @@ def _mega_kernel(
             acc[name] = tuple(acc[name])
         return acc
 
-    def bounce_body():
+    def bounce_body(fb):
+        # fb = fused-bounce index (STATIC: the segment loop is a python
+        # unroll; named fb — the analytic pass rebinds `bi` locally)
         def u_at(j):
-            return u_ref[0, j]
+            return u_ref[0, fb * 8 + j, :, :]
+
+        def ls_at(k):
+            return ls_ref[0, fb * 10 + k, :, :]
 
         o = (st[0], st[1], st[2])
         d = (st[3], st[4], st[5])
@@ -1047,10 +1025,10 @@ def _mega_kernel(
         # the in-kernel any-hit shadow walk.
         vis_out = f0 + 1.0
         if do_nee:
-            lp = (ls_ref[0, 0], ls_ref[0, 1], ls_ref[0, 2])
-            ln = (ls_ref[0, 3], ls_ref[0, 4], ls_ref[0, 5])
-            lemit = (ls_ref[0, 6], ls_ref[0, 7], ls_ref[0, 8])
-            pdf_area = ls_ref[0, 9]
+            lp = (ls_at(0), ls_at(1), ls_at(2))
+            ln = (ls_at(3), ls_at(4), ls_at(5))
+            lemit = (ls_at(6), ls_at(7), ls_at(8))
+            pdf_area = ls_at(9)
             to_l = vsub(lp, x)
             dist = jnp.sqrt(jnp.maximum(vdot(to_l, to_l), 1e-18))
             wi_l = vscale(1.0 / dist, to_l)
@@ -1084,9 +1062,9 @@ def _mega_kernel(
                 rk + jnp.where(good, tk * fk * ek * scale, 0.0)
                 for rk, tk, fk, ek in zip(rad, tp, f_l, lemit))
 
-        # ---- Russian roulette (rr_on is static: the host loop knows
-        # the bounce index)
-        if rr_p < 1.0 and rr_on:
+        # ---- Russian roulette (active from global bounce rr_start on;
+        # both b_start and bi are static)
+        if rr_p < 1.0 and (b_start + fb) >= rr_start:
             u_rr = u_at(4)
             alive = alive & (u_rr < rr_p)
             tp = tuple(tk / rr_p for tk in tp)
@@ -1113,19 +1091,26 @@ def _mega_kernel(
         st[9], st[10], st[11] = rad
         st[12] = jnp.where(alive, pdf, -1.0)
         st[13] = alive.astype(jnp.float32)
-        # hit records for the differentiable replay (id exact in f32: slot
-        # ids stay far below 2^24)
-        rad_ref[0, 3] = hi[:, :].astype(jnp.float32)
-        rad_ref[0, 4] = vis_out
+        # per-bounce records: hit id + NEE visibility for the replay (id
+        # exact in f32: slot ids stay far below 2^24) and the alive plane
+        # for ray accounting (plane layout: [3+bi] id, [3+nf+bi] vis,
+        # [3+2nf+bi] alive)
+        rad_ref[0, 3 + fb] = hi[:, :].astype(jnp.float32)
+        rad_ref[0, 3 + n_fused + fb] = vis_out
+        rad_ref[0, 3 + 2 * n_fused + fb] = alive.astype(jnp.float32)
 
-    # defaults: state copies through and radiance delta is zero — a block
-    # whose lanes are all dead (compaction tail) does no work at all
+    # defaults: state copies through, radiance delta zero, every fused
+    # bounce's records at miss/dead — a block whose lanes are all dead
+    # (compaction tail) does no work at all, and a block that dies
+    # mid-segment leaves its remaining bounces at these defaults
     for k in range(11):
         out_ref[0, k] = rays_ref[0, k]
     for k in range(3):
         rad_ref[0, k] = f0
-    rad_ref[0, 3] = f0 - 1.0   # miss record
-    rad_ref[0, 4] = f0
+    for b in range(n_fused):
+        rad_ref[0, 3 + b] = f0 - 1.0            # miss record
+        rad_ref[0, 3 + n_fused + b] = f0        # vis
+        rad_ref[0, 3 + 2 * n_fused + b] = f0    # alive count plane
     cnt_ref[0, 0, 0] = 0.0
     cnt_ref[0, 0, 1] = 0.0
 
@@ -1138,7 +1123,16 @@ def _mega_kernel(
         st[11] = f0
         st[12] = rays_ref[0, 9]     # prev_pdf
         st[13] = rays_ref[0, 10]    # alive
-        bounce_body()
+
+        # ONE kernel launch hosts the whole fused segment: state stays in
+        # VMEM across bounces; each fused bounce is predicated on the
+        # block still having survivors, so a block that dies mid-segment
+        # skips the remaining bounce bodies
+        bounce_body(0)
+        for fb in range(1, n_fused):
+            @pl.when(jnp.sum(st[13]) > 0.0)
+            def _(fb=fb):
+                bounce_body(fb)
         for k in range(9):
             out_ref[0, k] = st[k]
         out_ref[0, 9] = st[12]
@@ -1174,18 +1168,13 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
     # changing them mid-process does not retrace cached jits)
     trip_leaves = int(
         _os.environ.get("MEGA_TRIP_LEAVES", cfg.mega_trip_leaves))
-    # r5 A/B on chip: cond-gated attr extraction beats the branch-free
-    # encoded-winner update by ~40% at bounce 1 (most visits improve no
-    # lane, and lax.cond skips their whole extraction); lane-major keys
-    # are a small win. Env overrides kept for experiments.
+    # r5 A/B on chip (after the sublane-carry rewrite): the branch-free
+    # encoded-winner extraction wins — with relayout-free attr
+    # reductions, the lax.cond's own any()+scalar-sync+branch overhead
+    # exceeds the 4 masked reductions it skips (157.6 vs 179.6 ms
+    # whole-sample). "cond" keeps the cond-gated variant for A/B.
     kf_lane = _os.environ.get("MEGA_KF", "lane") == "lane"
-    extract_enc = _os.environ.get("MEGA_EXTRACT", "cond") == "enc"
-    # MXU sweep rejected on measurement (r5): in this serial walk the two
-    # (128,4)@(4,384) dots pay MXU *latency* per visit (nothing to
-    # pipeline against) and f32-HIGHEST is 6 passes — 310ms vs 223ms
-    # whole-sample; DEFAULT precision is wrong (bf16 hit-t). Kept behind
-    # the env switch for re-evaluation on hardware with faster small-K.
-    use_mxu = _os.environ.get("MEGA_SWEEP", "vpu") == "mxu"
+    extract_enc = _os.environ.get("MEGA_EXTRACT", "enc") == "enc"
     ablate = _os.environ.get("MEGA_ABLATE", "none")
 
     R = ro.shape[0]
@@ -1206,28 +1195,28 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
         lb = bvh.leaf_bounds                       # (6, L_lane) rows
         L = lb.shape[1]                            # multiple of LANE
         m_occ = bvh.m_occ
-        # leaf-major MATMUL coefficient stack (L, 8, 384): per leaf, rows
-        # 0-3 = the O-side column blocks [s1;c1 | s2;c2 | n;cw] and rows
-        # 4-7 = the D-side blocks [s1;0 | s2;0 | n;0] (material ids ride
-        # in the dead row 7's plane block, exact below 2^24), so a visit
-        # is ONE leading-axis dynamic slice + two (128,4)@(4,384) MXU
-        # matmuls against the [o,1,d,0] ray matrix
+        # leaf-major coefficient stack (M, 8, 256): per leaf, rows 0-3 =
+        # the [s1;c1 | s2;c2] column blocks, rows 4-7 block 0 = [n; cw],
+        # row 4 block 1 = material ids (exact below 2^24). A visit's
+        # coefficient load is ONE tile-aligned leading-axis dynamic
+        # slice; the 8x256 shape is the min-footprint tiling for the 13
+        # needed (1,128) blocks (8 physical sublanes is the floor).
         M = bvh.planes.shape[1]
-        core = (bvh.planes.reshape(3, 4, M, LANE)
-                .transpose(2, 1, 0, 3).reshape(M, 4, 3 * LANE))
-        matrow = jnp.concatenate(
-            [jnp.zeros((M, 1, 2 * LANE), jnp.float32),
-             bvh.mat.reshape(M, LANE).astype(jnp.float32)[:, None, :]], 2)
-        leafmm = jnp.concatenate([core, core[:, 0:3], matrow], 1)
-        if M < L:   # sublane-aligned M is never above lane-aligned L
-            leafmm = jnp.concatenate(
-                [leafmm, jnp.zeros((L - M, 8, 3 * LANE), jnp.float32)])
+        uvpart = (bvh.planes[0:8].reshape(2, 4, M, LANE)
+                  .transpose(2, 1, 0, 3).reshape(M, 4, 2 * LANE))
+        wpart = jnp.transpose(bvh.planes[8:12], (1, 0, 2))      # (M,4,128)
+        matp = bvh.mat.reshape(M, LANE).astype(jnp.float32)
+        wm = jnp.concatenate(
+            [wpart, jnp.stack(
+                [matp, jnp.zeros_like(matp), jnp.zeros_like(matp),
+                 jnp.zeros_like(matp)], 1)], 2)                 # (M,4,256)
+        leafmm = jnp.concatenate([uvpart, wm], 1)               # (M,8,256)
         leaf_cols = jnp.concatenate(
             [lb.T, jnp.zeros((L, 2), lb.dtype)], 1)  # (L, 8)
     else:
         L = LANE
         m_occ = 0
-        leafmm = jnp.zeros((L, 8, 3 * LANE), jnp.float32)
+        leafmm = jnp.zeros((8, 8, 2 * LANE), jnp.float32)
         leaf_cols = jnp.concatenate(
             [jnp.full((L, 3), INF, jnp.float32),
              jnp.full((L, 3), -INF, jnp.float32),
@@ -1247,34 +1236,42 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
 
     tri_off_after = int(_os.environ.get("MEGA_TRI_OFF_AFTER", "99"))
 
-    def bounce_call(state, u8p, lsp, rr_on, b=0):
-        """state: (11, Rp); u8p: (8, Rp); lsp: (10, Rp) planes
-        -> (state', rad_delta+records, dbg)."""
+    def seg_call(state, u_all, ls_all, b_start, nf):
+        """Run ONE kernel launch hosting bounces [b_start, b_start+nf).
+
+        state: (11, Rp); u_all: (8*nf, Rp); ls_all: (10*nf, Rp) planes
+        -> (state', rad (3, Rp), ids (nf, Rp) f32, vis (nf, Rp),
+            alive (nf, Rp), dbg). State stays in VMEM across the fused
+        bounces; a block whose wavefront dies exits the segment early.
+        """
         kernel = functools.partial(
             _mega_kernel, meta=meta, L=L, m_occ=m_occ,
-            has_tris=has_tris and b < tri_off_after,
+            has_tris=has_tris and b_start < tri_off_after,
             t_min=float(cfg.t_min), hit_eps=float(cfg.hit_eps),
-            rr_p=float(cfg.russian_roulette), rr_on=rr_on,
+            rr_p=float(cfg.russian_roulette), b_start=b_start,
+            rr_start=int(cfg.rr_start_bounce), n_fused=nf,
             do_nee=do_nee, do_mis=do_nee and cfg.enable_mis,
             ref_rr_quirk=cfg.reference_rr_quirk,
             trip_leaves=trip_leaves,
-            kf_lane=kf_lane, extract_enc=extract_enc, use_mxu=use_mxu,
+            kf_lane=kf_lane, extract_enc=extract_enc,
             ablate=ablate,
             debug_counters=debug_counters, interpret_exact=interpret)
         full4 = lambda shp: pl.BlockSpec(
             shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)
+        n_rad = 3 + 3 * nf
         st_in = state.reshape(11, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
-        u_in = u8p.reshape(8, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
-        ls_in = lsp.reshape(10, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
+        u_in = u_all.reshape(8 * nf, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
+        ls_in = ls_all.reshape(
+            10 * nf, n_blocks, SUB, LANE).transpose(1, 0, 2, 3)
         out, rad, cnt = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
             in_specs=[
                 pl.BlockSpec((1, 11, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, SUB, LANE), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, 8 * nf, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 10, SUB, LANE), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, 10 * nf, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 full4(leafmm.shape),
                 full4(leaf_cols.shape),
@@ -1284,14 +1281,15 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
             out_specs=[
                 pl.BlockSpec((1, 11, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 5, SUB, LANE), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, n_rad, SUB, LANE), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_blocks, 11, SUB, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((n_blocks, 5, SUB, LANE), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (n_blocks, n_rad, SUB, LANE), jnp.float32),
                 jax.ShapeDtypeStruct((n_blocks, 1, 2), jnp.float32),
             ],
             scratch_shapes=[
@@ -1305,9 +1303,10 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
             ],
             interpret=interpret,
         )(st_in, u_in, ls_in, leafmm, leaf_cols, consts)
+        radp = rad.transpose(1, 0, 2, 3).reshape(n_rad, Rp)
         return (out.transpose(1, 0, 2, 3).reshape(11, Rp),
-                rad.transpose(1, 0, 2, 3).reshape(5, Rp),
-                cnt[:, 0, :].sum(0))
+                radp[0:3], radp[3:3 + nf], radp[3 + nf:3 + 2 * nf],
+                radp[3 + 2 * nf:], cnt[:, 0, :].sum(0))
 
     # world AABB (from the leaf bounds; pads are inverted so min/max skip
     # them) for the compaction key's origin cells
@@ -1376,22 +1375,39 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
     # gathers (~4 ms on a v5e) dwarf the sweep work they save
     sort_after = min(B - 1, int(
         _os.environ.get("MEGA_SORT_AFTER", cfg.mega_sort_after)))
-    for b in range(B):
-        u8p = rng.tagged_uniform_planes(keys_cur, b, 8)
-        state, rad_delta, d2 = bounce_call(
-            state, u8p, light_sample_planes(u8p),
-            rr_on=b >= cfg.rr_start_bounce, b=b)
-        rad_acc = rad_acc + rad_delta[0:3]
+    # segment plan: single-bounce launches while compaction sorts still
+    # run between bounces, then ONE launch fuses the whole tail — the
+    # per-bounce launch + state-IO + glue cost for the thin late
+    # wavefront collapses into in-VMEM iteration with early block exit
+    fuse_tail = _os.environ.get("MEGA_FUSE_TAIL", "1") == "1"
+    segs = []
+    b = 0
+    while b < B:
+        nf = 1 if (b < sort_after or not fuse_tail) else B - b
+        segs.append((b, nf))
+        b += nf
+    for b, nf in segs:
+        u_all = jnp.concatenate(
+            [rng.tagged_uniform_planes(keys_cur, b + i, 8)
+             for i in range(nf)], 0)
+        ls_all = jnp.concatenate(
+            [light_sample_planes(u_all[8 * i:8 * i + 8])
+             for i in range(nf)], 0)
+        state, rad_delta, ids_p, vis_p, alive_p, d2 = seg_call(
+            state, u_all, ls_all, b, nf)
+        rad_acc = rad_acc + rad_delta
         if collect_records:
-            # scatter back to original ray order through the current perm
-            recs_id.append(jnp.zeros((Rp,), jnp.int32).at[idx].set(
-                rad_delta[3].astype(jnp.int32))[:R])
-            recs_vis.append(jnp.zeros((Rp,), jnp.float32).at[idx].set(
-                rad_delta[4])[:R])
+            for i in range(nf):
+                # scatter back to original ray order through the current
+                # perm (constant within a segment: sorts only run between)
+                recs_id.append(jnp.zeros((Rp,), jnp.int32).at[idx].set(
+                    ids_p[i].astype(jnp.int32))[:R])
+                recs_vis.append(jnp.zeros((Rp,), jnp.float32).at[idx].set(
+                    vis_p[i])[:R])
         dbg = dbg + d2
-        alive = state[10]
-        counts.append(jnp.sum(alive))
-        if b < sort_after:
+        for i in range(nf):
+            counts.append(jnp.sum(alive_p[i]))
+        if b + nf - 1 < sort_after:
             perm = jnp.argsort(coherence_key(state), stable=True)
             state = state[:, perm]
             rad_acc = rad_acc[:, perm]
