@@ -164,6 +164,12 @@ def main():
     # default "auto" route is the megakernel with path-replay backprop
     # (replay.py): forward = one fused launch, backward = traversal-free
     # XLA replay of the recorded hits.
+    # replay_tiers stays () here: measured on-chip (r5, BASELINE.md), the
+    # backward is SCATTER-bound on parameter gradients, which scale with
+    # hit count (concentrated at bounces 0-1) — compacting the thin late
+    # bounces moves little, and the compaction's own gathers add VJP
+    # scatters. The tiers are implemented + equality-tested
+    # (tests/test_replay.py) for scenes/hardware where they pay.
     gcfg = cfg.replace(traversal="auto" if not on_cpu else "jnp",
                        max_bounces=8)
     gids = jnp.asarray(order[: min(n_pixels, 1 << 16)])

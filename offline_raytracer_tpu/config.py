@@ -66,6 +66,17 @@ class RenderConfig:
     #                                compact the wavefront after bounces
     #                                0..N-1 (later sorts cost more than the
     #                                sweep work they save)
+    replay_tiers: tuple = ()       # gradient-replay compaction schedule:
+    #                                ((bounce, divisor), ...) — at each
+    #                                listed bounce the replay gathers the
+    #                                longest-lived R//divisor rays and
+    #                                runs the remaining bounces on that
+    #                                subset. EXACT while the survivor
+    #                                count fits the capacity (records
+    #                                prove it per render; tests assert
+    #                                equality); rays beyond capacity lose
+    #                                their tail bounces. () = full-width
+    #                                exact replay. See integrator.py.
     use_pallas: bool = True        # pallas megakernel on TPU (auto-
     #                                fallback: CPU backend or BVH > VMEM)
     traversal: str = "auto"        # "auto" | "mega" | "cull" | "packet" |
@@ -81,7 +92,8 @@ class RenderConfig:
     # knobs that change only scheduling/perf, never the estimate — excluded
     # from checkpoint resume-compat comparison (utils/checkpoint._meta_of)
     PERF_ONLY = ("ray_batch", "use_pallas", "traversal", "sort_rays",
-                 "max_stack_depth", "mega_trip_leaves", "mega_sort_after")
+                 "max_stack_depth", "mega_trip_leaves", "mega_sort_after",
+                 "replay_tiers")
 
     def __post_init__(self):
         if self.traversal not in ("auto", "mega", "cull", "packet", "jnp"):

@@ -108,36 +108,46 @@ def trace_paths(
     # level (r4 profiling: the in-scan gathers were the entire replay
     # cost). The recorded winner ids cover all bounces up front, so one
     # batched gather per table here feeds the scan via xs.
-    pre = None
     if replay is not None:
         from offline_raytracer_tpu.ops.intersect import (
             hit_from_params, prefetch_hit_params)
 
         ids_all, vis_all = replay
         B = cfg.max_bounces
-        hp_all = prefetch_hit_params(scene, ids_all)        # (B, R, ...)
-        u8_all = jnp.stack(
-            [rng.bounce_uniforms(ps_keys, b, 8) for b in range(B)])
-        mat_all = hp_all["mat"]
-        pre = {
-            "hp": hp_all,
-            "u8": u8_all,
-            "matp": bsdf_ops.gather_mat_params(
-                mats, mat_all, cfg.default_roughness,
-                cfg.roughness_from_material),
-            "emit": mats.emit[mat_all],
-            "is_light": mats.is_light[mat_all],
-            "light_idx": scene.mat_to_light[mat_all],
-            "vis": vis_all,
-        }
-        if do_mis:
-            pre["pdf_area_hit"] = light_ops.light_pdf_area(
-                scene.lights, pre["light_idx"])
-        if do_nee:
-            u4 = u8_all[..., 0:4].reshape(B * R, 4)
-            ls_flat = light_ops.sample_lights(u4, scene.lights, mats.emit)
-            pre["ls"] = jax.tree.map(
-                lambda x: x.reshape((B, R) + x.shape[1:]), ls_flat)
+
+        def build_pre(ids_seg, vis_seg, keys_seg, b_lo):
+            """Prefetch tables for bounces [b_lo, b_lo + nb) over the
+            CURRENT (possibly tier-compacted) ray subset. Built per
+            segment so the scene-table gathers — and, decisively, their
+            scatter-add VJPs, which carry the parameter gradients — are
+            sized to the compacted width instead of full R x B."""
+            nb, S = ids_seg.shape
+            hp = prefetch_hit_params(scene, ids_seg)        # (nb, S, ...)
+            u8 = jnp.stack(
+                [rng.bounce_uniforms(keys_seg, b_lo + i, 8)
+                 for i in range(nb)])
+            mat = hp["mat"]
+            p = {
+                "hp": hp,
+                "u8": u8,
+                "matp": bsdf_ops.gather_mat_params(
+                    mats, mat, cfg.default_roughness,
+                    cfg.roughness_from_material),
+                "emit": mats.emit[mat],
+                "is_light": mats.is_light[mat],
+                "light_idx": scene.mat_to_light[mat],
+                "vis": vis_seg,
+            }
+            if do_mis:
+                p["pdf_area_hit"] = light_ops.light_pdf_area(
+                    scene.lights, p["light_idx"])
+            if do_nee:
+                u4 = u8[..., 0:4].reshape(nb * S, 4)
+                ls_flat = light_ops.sample_lights(
+                    u4, scene.lights, mats.emit)
+                p["ls"] = jax.tree.map(
+                    lambda x: x.reshape((nb, S) + x.shape[1:]), ls_flat)
+            return p
 
     def bounce(state: PathState, xs):
         if replay is None:
@@ -160,6 +170,7 @@ def trace_paths(
         hit_light = hit_is_light & hit.valid
 
         # ------ emissive accumulation (implicit light connection, ref :1355-1371)
+        R_cur = state.alive.shape[0]   # replay tiers shrink the batch
         if do_mis:
             if replay is None:
                 light_idx = scene.mat_to_light[hit.mat]
@@ -190,7 +201,7 @@ def trace_paths(
             mis_w = jnp.where(
                 (light_idx >= 0) & (state.prev_pdf >= 0.0) & front, 0.0, 1.0)
         else:
-            mis_w = jnp.ones((R,))
+            mis_w = jnp.ones((R_cur,))
         if cfg.reference_rr_quirk and cfg.russian_roulette < 1.0:
             # reproduce the reference's uncompensated final RR gate on
             # light-terminated paths (config.py reference_rr_quirk)
@@ -252,7 +263,7 @@ def trace_paths(
                 p_b = bsdf_ops.pdf_bsdf(n, wi_l, wo, matp)
                 w_l = light_ops.mis_balance(p_nee_solid, p_b)
             else:
-                w_l = jnp.ones((R,))
+                w_l = jnp.ones((R_cur,))
             good = alive & visible & (cos_l > 1e-6) & (p_nee_solid > 1e-9)
             # estimator split: the geometric factor cos/dist^2 AND the
             # area pdf stay ATTACHED — they carry the real derivatives
@@ -319,13 +330,66 @@ def trace_paths(
         # UNROLLED: on TPU both gathers and large-xs slicing degrade
         # badly inside lax.scan (r4 profiling); the bounce count is
         # static and small, so the replay pays compile size for a
-        # top-level-fast body
+        # top-level-fast body.
+        #
+        # TIERED COMPACTION (cfg.replay_tiers): the wavefront is a few
+        # percent alive after the first bounces, yet a full-width replay
+        # pushes all R rays through every bounce body (and its VJP). At
+        # each (bounce, divisor) tier the replay banks the radiance
+        # accumulated so far, sorts the CURRENT slots so rays that can
+        # still matter come first (a ray can contribute at bounces >= b
+        # only if it HIT at bounce b-1 — the records are monotone: hit
+        # ids, then -1 forever), and keeps the first R//divisor slots.
+        # Static shapes throughout; EXACT whenever the survivor count
+        # fits the capacity (guaranteed-checkable from the records:
+        # tests/test_replay.py asserts compact == full), rays beyond
+        # capacity lose their tail bounces — pick divisors with margin.
+        tiers = dict(cfg.replay_tiers)
+        # segment plan: a new segment starts at every tier bounce whose
+        # capacity is below the current width
+        seg_starts = [0] + sorted(
+            b for b, d in tiers.items()
+            if 0 < b < cfg.max_bounces and max(R // int(d), 1) < R)
+        segs = [(b0, b1) for b0, b1 in
+                zip(seg_starts, seg_starts[1:] + [cfg.max_bounces])]
         alive_counts = []
-        for b in range(cfg.max_bounces):
-            pre_b = jax.tree.map(lambda x: x[b], pre)
-            state, a = bounce(state, (jnp.int32(b), pre_b))
-            alive_counts.append(a)
+        rad_full = jnp.zeros((R, 3))
+        abs_idx = jnp.arange(R, dtype=jnp.int32)
+        ids_sg = sg(replay[0])
+        vis_sg = sg(replay[1])
+        tiered = False
+        for b0, b1 in segs:
+            if b0 > 0:
+                S = max(R // int(tiers[b0]), 1)
+                if S < state.alive.shape[0]:
+                    mask = ids_sg[b0 - 1][abs_idx] >= 0
+                    sel = jnp.argsort(~mask, stable=True)[:S]
+                    rad_full = rad_full.at[abs_idx].add(state.radiance)
+                    state = PathState(
+                        origin=state.origin[sel],
+                        direction=state.direction[sel],
+                        throughput=state.throughput[sel],
+                        radiance=jnp.zeros((S, 3)),
+                        alive=state.alive[sel] & mask[sel],
+                        prev_pdf=state.prev_pdf[sel],
+                        keys=state.keys[sel])
+                    abs_idx = abs_idx[sel]
+                    tiered = True
+            if tiered:
+                ids_seg = ids_sg[b0:b1, abs_idx]
+                vis_seg = vis_sg[b0:b1, abs_idx]
+            else:   # identity subset: plain slices, no gather
+                ids_seg = ids_sg[b0:b1]
+                vis_seg = vis_sg[b0:b1]
+            pre_seg = build_pre(ids_seg, vis_seg, state.keys, b0)
+            for b in range(b0, b1):
+                pre_b = jax.tree.map(lambda x, b=b: x[b - b0], pre_seg)
+                state, a = bounce(state, (jnp.int32(b), pre_b))
+                alive_counts.append(a)
         alive_per_bounce = jnp.stack(alive_counts)
+        if tiered:
+            rad_full = rad_full.at[abs_idx].add(state.radiance)
+            state = state.replace(radiance=rad_full)
     if collect_stats:
         return state.radiance, alive_per_bounce
     return state.radiance

@@ -32,6 +32,12 @@ def _cfg(**kw):
     return RenderConfig(**base)
 
 
+@pytest.fixture(scope="module")
+def bunny_small(ref_data_dir):
+    from offline_raytracer_tpu.models.scenes import bunny
+    return bunny(48, 48, data_dir=ref_data_dir)
+
+
 def _rays(scene, cfg, R=1280):
     ids = jnp.arange(R, dtype=jnp.int32) % (cfg.width * cfg.height)
     root = rng.render_key(cfg.seed)
@@ -131,3 +137,38 @@ def test_replay_vertex_grads_bunny(ref_data_dir):
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0.0
+
+
+def test_replay_tiered_compaction_matches_full(bunny_small):
+    """cfg.replay_tiers shrinks the replay batch at tier bounces; with
+    capacity above the actual survivor count the compact replay is EXACT —
+    same radiance, same gradients (integrator.py tiered-compaction notes).
+    """
+    import jax
+
+    cfg = _cfg(max_bounces=6)
+    R = 1280
+    ro, rd, keys = _rays(bunny_small, cfg, R)
+    _, ids, vis = mega.render_paths_mega(
+        bunny_small, cfg, ro, rd, keys, interpret=True, collect_records=True)
+    ids = jax.lax.stop_gradient(ids)
+    vis = jax.lax.stop_gradient(vis)
+
+    def gradval(c):
+        def loss(diffuse, v0):
+            sc = bunny_small.replace(
+                materials=bunny_small.materials.replace(diffuse=diffuse),
+                triangles=bunny_small.triangles.replace(v0=v0))
+            return jnp.mean(trace_paths(sc, c, None, ro, rd, keys,
+                                        replay=(ids, vis)))
+        return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(
+            bunny_small.materials.diffuse, bunny_small.triangles.v0)
+
+    v1, g1 = gradval(cfg)
+    v2, g2 = gradval(cfg.replace(replay_tiers=((2, 4), (4, 16))))
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        # atol covers gather/scatter-add reassociation noise on
+        # near-zero entries; the relative tolerance does the real work
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
