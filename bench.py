@@ -93,12 +93,53 @@ def main():
     t0 = time.time()
     out, alive = render_block_stats_jit(scene, cfg, ids0, 0, spp_chunk)
     np.asarray(out)
-    compile_s = time.time() - t0
-    print(f"compiled in {compile_s:.1f}s", file=sys.stderr)
+    compile_cold_s = time.time() - t0
+    print(f"compiled in {compile_cold_s:.1f}s (this process)",
+          file=sys.stderr)
+    # warm = a FRESH process compiling the same program against the
+    # persistent cache this run just populated — the deploy-relevant
+    # number (the sample-chunk/replay unrolls trade cold-compile time
+    # for step time; VERDICT r4 #8 wants both tracked)
+    compile_warm_s = -1.0
+    if not on_cpu:
+        import subprocess
+        warm_src = (
+            "import os,time;"
+            "os.environ['JAX_COMPILATION_CACHE_DIR']='/tmp/jax_cache';"
+            "import jax,jax.numpy as jnp,numpy as np;"
+            "jax.config.update('jax_compilation_cache_dir','/tmp/jax_cache');"
+            "jax.config.update("
+            "'jax_persistent_cache_min_compile_time_secs',0.0);"
+            "from offline_raytracer_tpu.config import RenderConfig;"
+            "from offline_raytracer_tpu.models.scenes import bunny;"
+            "from offline_raytracer_tpu.render import "
+            "render_block_stats_jit,tile_pixel_ids;"
+            f"W=H={W};scene=bunny(W,H);"
+            f"cfg=RenderConfig(width=W,height=H,spp={SPP},max_bounces=8,"
+            "enable_dof=False,ray_batch=W*H);"
+            "ids=jnp.asarray(tile_pixel_ids(W,H));t0=time.time();"
+            f"o,a=render_block_stats_jit(scene,cfg,ids,0,{spp_chunk});"
+            "np.asarray(o);print('WARM_S',time.time()-t0)")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", warm_src], capture_output=True,
+                text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in r.stdout.splitlines():
+                if line.startswith("WARM_S"):
+                    compile_warm_s = float(line.split()[1])
+        except Exception as e:  # warm probe is best-effort diagnostics
+            print(f"warm-compile probe failed: {e}", file=sys.stderr)
+        print(f"warm compile (fresh process, persistent cache): "
+              f"{compile_warm_s:.1f}s", file=sys.stderr)
 
     nee = cfg.enable_nee and scene.n_lights > 0
     t0 = time.time()
-    total_rays = 0.0
+    launches = []   # (n_paths, device alive handle) — stats accumulate on
+    #                 the HOST after the loop: folding the device scalars
+    #                 into a running sum in-loop serialized every launch
+    #                 on a ~25 ms dispatch round-trip (measured 3x total
+    #                 slowdown, r5) and timed the tunnel, not the chip
     last = None
     for start in range(0, n_pixels, block):
         bids = jnp.asarray(order[start: min(start + block, n_pixels)])
@@ -107,15 +148,16 @@ def main():
             k = min(spp_chunk, SPP - s)
             out, alive = render_block_stats_jit(scene, cfg, bids, s, k)
             s += k
-            n_paths = int(bids.shape[0]) * k
-            # segments: 1 camera ray per path + 1 per surviving bounce;
-            # NEE adds 1 shadow ray per shading point (camera + bounces-1)
-            a = alive  # device-side (max_bounces,)
-            segs = n_paths + a.sum()
-            shadow = (n_paths + a[:-1].sum()) if nee else 0.0
-            total_rays += segs + shadow
+            launches.append((int(bids.shape[0]) * k, alive))
             last = out
-    total_rays = float(total_rays)  # forces sync on the accumulated stats
+    total_rays = 0.0
+    for n_paths, alive in launches:
+        # segments: 1 camera ray per path + 1 per surviving bounce;
+        # NEE adds 1 shadow ray per shading point (camera + bounces-1)
+        a = np.asarray(alive)
+        total_rays += n_paths + a.sum()
+        if nee:
+            total_rays += n_paths + a[:-1].sum()
     img = np.asarray(last)
     dt = time.time() - t0
     assert np.isfinite(img).all() and img.mean() > 0, "bench render broken"
@@ -129,35 +171,65 @@ def main():
               f"FLOPs/ray / {PEAK_LABEL} = {mfu*100:.2f}%", file=sys.stderr)
 
     # ---- testscene on the fast path (VERDICT r3 #2) ---------------------
-    # the reference's only showcase scene, now megakernel-hosted:
-    # cylinders + box/mesh/cylinder lights in-kernel
+    # the reference's only showcase scene, megakernel-hosted: cylinders +
+    # box/mesh/cylinder lights in-kernel. Timed with the SAME 4-spp
+    # chunked launches as the bunny loop (VERDICT r4 weak #7: 1-spp
+    # launches measured dispatch latency, not the kernel).
     ts_mrays = 0.0
-    if not on_cpu:
+    ts_scn = os.environ.get(
+        "RAYTRACER_REF_DATA", "/root/reference/data") + "/testscene.scn"
+    if not on_cpu and os.path.exists(ts_scn):
         from offline_raytracer_tpu.scene.scn import load_scene
         from offline_raytracer_tpu.render import _mega_active
 
         TW, TH, TSPP = 320, 180, 16
-        tscene, _ = load_scene(
-            "/root/reference/data/testscene.scn", TW, TH)
+        tscene, _ = load_scene(ts_scn, TW, TH)
         tcfg = RenderConfig(width=TW, height=TH, spp=TSPP, max_bounces=8,
-                            enable_dof=False, ray_batch=TW * TH)
+                            enable_dof=False, ray_batch=4 * TW * TH)
         assert _mega_active(tscene, tcfg), "testscene must ride the mega path"
         torder = tile_pixel_ids(TW, TH)
         tids = jnp.asarray(torder)
-        out, talive = render_block_stats_jit(tscene, tcfg, tids, 0, 1)
+        out, talive = render_block_stats_jit(tscene, tcfg, tids, 0, 4)
         np.asarray(out)   # compile
         t0 = time.time()
+        t_launches = []
+        for s in range(0, TSPP, 4):
+            out, talive = render_block_stats_jit(tscene, tcfg, tids, s, 4)
+            t_launches.append(talive)
         t_rays = 0.0
-        for s in range(TSPP):
-            out, talive = render_block_stats_jit(tscene, tcfg, tids, s, 1)
-            n_paths = TW * TH
-            t_rays += 2 * n_paths + talive.sum() + talive[:-1].sum()
-        t_rays = float(t_rays)
+        for talive in t_launches:
+            ta = np.asarray(talive)
+            t_rays += 2 * TW * TH * 4 + ta.sum() + ta[:-1].sum()
         ts_dt = time.time() - t0
         assert np.isfinite(np.asarray(out)).all()
         ts_mrays = t_rays / ts_dt / 1e6
-        print(f"testscene {TW}x{TH}: {ts_mrays:.2f} Mrays/s (mega path)",
-              file=sys.stderr)
+        print(f"testscene {TW}x{TH}: {ts_mrays:.2f} Mrays/s "
+              f"(mega path, 4-spp chunks)", file=sys.stderr)
+    elif not on_cpu:
+        print(f"testscene skipped: {ts_scn} not found "
+              f"(set RAYTRACER_REF_DATA)", file=sys.stderr)
+
+    # ---- compiled shard_map+Pallas and ring on the real chip ------------
+    # (VERDICT r4 #6: these combinations previously ran only in interpret
+    # mode on the CPU mesh). Mesh((1,)) is the only real topology here;
+    # it still compiles the actual sharded program a pod would run, and
+    # the ring step exercises a compiled self-ppermute.
+    if not on_cpu:
+        from offline_raytracer_tpu.parallel.ring import render_block_ring
+        from offline_raytracer_tpu.parallel.shard import (
+            make_mesh, render_block_sharded)
+
+        mesh = make_mesh()
+        probe = jnp.asarray(order[n_pixels // 2: n_pixels // 2 + 4096])
+        sh_out = np.asarray(render_block_sharded(
+            scene, cfg, mesh, probe, 0, 2))
+        ref_out = np.asarray(render_block_jit(scene, cfg, probe, 0, 2))
+        np.testing.assert_allclose(sh_out, ref_out, rtol=1e-5, atol=1e-6)
+        ring_out = np.asarray(render_block_ring(
+            scene, cfg.replace(max_bounces=4), mesh, probe, 0, 1))
+        assert np.isfinite(ring_out).all() and ring_out.mean() >= 0
+        print(f"shard_map+mega on Mesh(({mesh.size},)): == unsharded; "
+              f"ring step (self-ppermute) compiled OK", file=sys.stderr)
 
     # ---- fwd+bwd throughput (north-star metric) -------------------------
     # gradient step w.r.t. material albedo + mesh vertices. On TPU the
@@ -217,12 +289,13 @@ def main():
 
     print(json.dumps({
         "metric": f"{metric_key}_throughput",
-        "value": round(mrays, 3),
+        "value": round(float(mrays), 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(vs, 3),
-        "fwd_bwd_mrays": round(g_mrays, 3),
-        "testscene_mrays": round(ts_mrays, 3),
-        "compile_s": round(compile_s, 1),
+        "vs_baseline": round(float(vs), 3),
+        "fwd_bwd_mrays": round(float(g_mrays), 3),
+        "testscene_mrays": round(float(ts_mrays), 3),
+        "compile_cold_s": round(compile_cold_s, 1),
+        "compile_warm_s": round(compile_warm_s, 1),
     }))
 
 

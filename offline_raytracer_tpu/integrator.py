@@ -204,9 +204,14 @@ def trace_paths(
             mis_w = jnp.ones((R_cur,))
         if cfg.reference_rr_quirk and cfg.russian_roulette < 1.0:
             # reproduce the reference's uncompensated final RR gate on
-            # light-terminated paths (config.py reference_rr_quirk)
+            # light-terminated paths (config.py reference_rr_quirk) —
+            # only for continuations whose producing bounce actually ran
+            # an RR gate (ADVICE r4: with rr_start_bounce > 0 the first
+            # sampled continuation never passed one)
+            quirk_on = bounce_idx > cfg.rr_start_bounce
             mis_w = mis_w * jnp.where(
-                state.prev_pdf >= 0.0, cfg.russian_roulette, 1.0)
+                (state.prev_pdf >= 0.0) & quirk_on,
+                cfg.russian_roulette, 1.0)
         add_emit = state.alive & hit_light
         radiance = state.radiance + jnp.where(
             add_emit[..., None], state.throughput * emit * sg(mis_w)[..., None], 0.0

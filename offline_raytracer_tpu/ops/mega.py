@@ -1002,8 +1002,9 @@ def _mega_kernel(
                 (mp["tol"] >= 0.0) & (prev_pdf >= 0.0) & front, 0.0, 1.0)
         else:
             mis_w = f0 + 1.0
-        if ref_rr_quirk and rr_p < 1.0:
-            # reference's uncompensated final RR gate (config.py)
+        if ref_rr_quirk and rr_p < 1.0 and (b_start + fb) > rr_start:
+            # reference's uncompensated final RR gate (config.py) — only
+            # once the producing bounce ran an RR gate (ADVICE r4)
             mis_w = mis_w * jnp.where(prev_pdf >= 0.0, rr_p, 1.0)
         add_emit = alive & hit_light
         rad = tuple(

@@ -31,8 +31,21 @@ def test_committed_parity_metrics():
     m = rec["testscene"]["metrics"]
     assert m["lum_corr"] >= 0.92, m
     assert m["mean_rel_err"] <= 0.05, m
-    # config must be recorded for reproducibility
+    # per-pixel honesty metrics (VERDICT r4 #3): recorded + bounded, with
+    # the two noise floors that separate MC noise from residual bias
+    assert m["perpix_median"] <= 0.25, m
+    assert "perpix_frac_gt25" in m and "perpix_p90" in m
+    assert m["noise_floor_self"]["perpix_median"] > 0
+    assert m["noise_floor_showcase_pair"]["perpix_median"] > 0
+    # ours-vs-golden per-pixel error within a small multiple of our own
+    # two-seed noise floor (the rest is reference-noise + fixed-defect
+    # bias, see goldens/parity.json)
+    assert m["bias_ratio_median"] <= 4.0, m
+    # config must be recorded for reproducibility — including the perf
+    # knobs that used to leak out as env vars (VERDICT r4 #5)
     assert rec["testscene"]["config"]["spp"] >= 64
+    assert "mega_trip_leaves" in rec["testscene"]["config"]
+    assert "mega_sort_after" in rec["testscene"]["config"]
     assert rec["dwarf_dof"]["config"]["enable_dof"] is True
 
 
@@ -50,18 +63,25 @@ def test_testscene_regression_vs_golden(ref_data_dir):
     from offline_raytracer_tpu.utils import hdr
 
     golden = hdr.read_hdr(_gold("testscene.hdr"))
-    W, H = 80, 45
+    # tighter gate than r4 (corr > 0.7 at 80x45x2spp would pass gross
+    # material/lighting regressions — VERDICT r4 #9): a center crop at
+    # spp 8 must correlate > 0.9 with the committed golden
+    W, H = 128, 72
     scene, _ = load_scene(f"{ref_data_dir}/testscene.scn", W, H)
-    cfg = RenderConfig(width=W, height=H, spp=2, max_bounces=6,
+    cfg = RenderConfig(width=W, height=H, spp=8, max_bounces=6,
                        enable_nee=False, enable_mis=False,
                        pixel_jitter=False, enable_dof=True,
                        reference_rr_quirk=True,
-                       traversal="jnp", ray_batch=1 << 13)
+                       traversal="jnp", ray_batch=1 << 15)
     img = render_image(scene, cfg)
     assert np.isfinite(img).all() and img.mean() > 0
     g = box_down(golden, H, W)
-    corr = np.corrcoef(tonemap_lum(img).ravel(), tonemap_lum(g).ravel())[0, 1]
-    assert corr > 0.7, f"structure diverged from committed golden: {corr}"
+    # center crop (the scene content; border rows are wall/floor slabs)
+    ch = slice(H // 6, H - H // 6)
+    cw = slice(W // 6, W - W // 6)
+    corr = np.corrcoef(tonemap_lum(img[ch, cw]).ravel(),
+                       tonemap_lum(g[ch, cw]).ravel())[0, 1]
+    assert corr > 0.9, f"structure diverged from committed golden: {corr}"
 
 
 def test_glass_sphere_not_black(ref_data_dir):
