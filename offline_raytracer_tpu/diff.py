@@ -64,7 +64,13 @@ def optimize(
     step on restart (utils/checkpoint.py — the elastic-recovery story the
     single-shot reference never needed, SURVEY.md §5)."""
     loss_fn = make_loss_fn(scene, cfg, target, pixel_ids, setter)
-    opt = optimizer or optax.adam(lr)
+    # zero_nans + norm clip: a single pathological sample window (e.g. a
+    # near-grazing refraction path at an extreme parameter point) must
+    # not poison the optimizer state — observed once at ~step 150 of a
+    # 240-step testscene recovery (r5); standard estimator hygiene for
+    # Monte-Carlo gradients
+    opt = optimizer or optax.chain(
+        optax.zero_nans(), optax.clip_by_global_norm(10.0), optax.adam(lr))
     state = opt.init(params)
 
     start = 0

@@ -65,10 +65,11 @@ def test_testscene_regression_vs_golden(ref_data_dir):
     golden = hdr.read_hdr(_gold("testscene.hdr"))
     # tighter gate than r4 (corr > 0.7 at 80x45x2spp would pass gross
     # material/lighting regressions — VERDICT r4 #9): a center crop at
-    # spp 8 must correlate > 0.9 with the committed golden
+    # spp 16 must correlate > 0.9 with the committed golden (measured
+    # 0.907 — deterministic: fixed counter-based keys)
     W, H = 128, 72
     scene, _ = load_scene(f"{ref_data_dir}/testscene.scn", W, H)
-    cfg = RenderConfig(width=W, height=H, spp=8, max_bounces=6,
+    cfg = RenderConfig(width=W, height=H, spp=16, max_bounces=6,
                        enable_nee=False, enable_mis=False,
                        pixel_jitter=False, enable_dof=True,
                        reference_rr_quirk=True,
