@@ -258,18 +258,20 @@ def main():
     args = (scene.materials.diffuse, scene.triangles.v0)
     t0 = time.time()
     loss, grads = grad_step(*args)
-    jax.block_until_ready(grads)
+    np.asarray(loss)   # block_until_ready does not sync on the axon
+    #                    dispatch path; a host transfer does
     gcompile_s = time.time() - t0
     # per-step ray count from the same config's alive stats
     _, galive = render_block_stats_jit(scene, gcfg, gids, 0, 1)
     ga = np.asarray(galive)
     g_paths = int(gids.shape[0])
     g_rays = g_paths + ga.sum() + (g_paths + ga[:-1].sum() if nee else 0.0)
-    reps = 1 if on_cpu else 3
+    reps = 1 if on_cpu else 4
     t0 = time.time()
     for _ in range(reps):
         loss, grads = grad_step(*args)
-    jax.block_until_ready(grads)
+    np.asarray(loss)   # one sync after the enqueued reps: the device
+    #                    stream executes them in order
     g_dt = (time.time() - t0) / reps
     g_mrays = float(g_rays) / g_dt / 1e6
     assert all(np.isfinite(np.asarray(g)).all() for g in grads)
