@@ -242,8 +242,14 @@ def main():
     # bounces moves little, and the compaction's own gathers add VJP
     # scatters. The tiers are implemented + equality-tested
     # (tests/test_replay.py) for scenes/hardware where they pay.
+    # grad_mode="replay-value": the descent-loop route — forward value
+    # comes from the XLA replay of the kernel's records (same estimator,
+    # same draws; tests/test_replay.py pins kernel == replay radiance) and
+    # plain autodiff lets XLA DCE the cotangents this loss doesn't use.
+    # The custom_vjp "kernel-value" route computes every scene cotangent
+    # (+~21 ms/step here, benchmarks/profile_grad.py).
     gcfg = cfg.replace(traversal="auto" if not on_cpu else "jnp",
-                       max_bounces=8)
+                       max_bounces=8, grad_mode="replay-value")
     gids = jnp.asarray(order[: min(n_pixels, 1 << 16)])
 
     from offline_raytracer_tpu.render import render_block

@@ -87,19 +87,40 @@ class RenderConfig:
     #                                tree walk (traverse_pallas.py).
     #                                Gradient renders need an XLA mode
     #                                (cull/packet/jnp) set explicitly.
+    grad_mode: str = "kernel-value"
+    #                                How the megakernel route exposes
+    #                                gradients (replay.py):
+    #                                "kernel-value" — custom_vjp: primal =
+    #                                the kernel's own radiance, backward =
+    #                                path-replay VJP. Exact primal, but the
+    #                                custom_vjp bwd computes cotangents for
+    #                                EVERY scene leaf and XLA cannot DCE
+    #                                the unused ones (+~35% per grad step,
+    #                                measured r5 benchmarks/profile_grad).
+    #                                "replay-value" — forward value = the
+    #                                XLA replay of the kernel's records;
+    #                                plain autodiff, unused cotangents DCE.
+    #                                Same estimator on the same draws
+    #                                (tests/test_replay.py pins kernel ==
+    #                                replay radiance); use for gradient
+    #                                descent loops.
     accum_dtype: str = "float32"
 
     # knobs that change only scheduling/perf, never the estimate — excluded
     # from checkpoint resume-compat comparison (utils/checkpoint._meta_of)
     PERF_ONLY = ("ray_batch", "use_pallas", "traversal", "sort_rays",
                  "max_stack_depth", "mega_trip_leaves", "mega_sort_after",
-                 "replay_tiers")
+                 "replay_tiers", "grad_mode")
 
     def __post_init__(self):
         if self.traversal not in ("auto", "mega", "cull", "packet", "jnp"):
             raise ValueError(
                 f"traversal must be one of auto|mega|cull|packet|jnp, "
                 f"got {self.traversal!r}")
+        if self.grad_mode not in ("kernel-value", "replay-value"):
+            raise ValueError(
+                f"grad_mode must be kernel-value|replay-value, "
+                f"got {self.grad_mode!r}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -1359,7 +1359,13 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
         ro.T, rd.T, jnp.ones((3, Rp), jnp.float32),
         jnp.full((1, Rp), -1.0, jnp.float32), alive0[None]], 0)
     rad_acc = jnp.zeros((3, Rp), jnp.float32)
-    idx = jnp.arange(Rp, dtype=jnp.int32)
+    # inverse of the cumulative compaction permutation, maintained
+    # incrementally: inv[i] = current position of original ray i. Updated
+    # per sort with one unique-index scatter (~0.04 ms) + one gather —
+    # replacing the jnp.argsort(idx) inversions that cost ~3 ms EACH on a
+    # 262k wavefront (r5 grad decomposition: with records on, those
+    # argsorts were 13 ms of the 80 ms step)
+    inv = jnp.arange(Rp, dtype=jnp.int32)
     keys_cur = ps_keys
     if pad:
         # tile modulo R: any pad width works even when pad > R (small or
@@ -1400,13 +1406,13 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
         if collect_records:
             # restore original ray order through the current perm
             # (constant within a segment: sorts only run between) as a
-            # GATHER by the inverse permutation — a TPU scatter of the
-            # same data costs ~6 ms per op (r5: per-bounce scatters were
-            # ~50 ms of the gradient step's forward pass); one argsort +
-            # batched gather per segment is ~1 ms
-            inv = jnp.argsort(idx)[:R]
-            recs_id.append(ids_p.astype(jnp.int32)[:, inv])
-            recs_vis.append(vis_p[:, inv])
+            # GATHER by the maintained inverse permutation — a TPU
+            # scatter of the same data costs ~6 ms per op (r5:
+            # per-bounce scatters were ~50 ms of the gradient step's
+            # forward pass), and re-deriving the inverse via argsort
+            # cost ~3 ms per segment
+            recs_id.append(ids_p.astype(jnp.int32)[:, inv[:R]])
+            recs_vis.append(vis_p[:, inv[:R]])
         dbg = dbg + d2
         for i in range(nf):
             counts.append(jnp.sum(alive_p[i]))
@@ -1414,10 +1420,14 @@ def render_paths_mega(scene, cfg, ro, rd, ps_keys, collect_stats=False,
             perm = jnp.argsort(coherence_key(state), stable=True)
             state = state[:, perm]
             rad_acc = rad_acc[:, perm]
-            idx = idx[perm]
             keys_cur = keys_cur[perm]
+            # fold this sort into the running inverse: inv' = perm⁻¹∘inv,
+            # with perm⁻¹ realized as a unique-index scatter of iota
+            p_inv = jnp.zeros((Rp,), jnp.int32).at[perm].set(
+                jnp.arange(Rp, dtype=jnp.int32), unique_indices=True)
+            inv = p_inv[inv]
 
-    radiance = rad_acc.T[jnp.argsort(idx)[:R]]   # gather beats scatter
+    radiance = rad_acc.T[inv[:R]]   # gather beats scatter
     if collect_records:
         return (radiance, jnp.concatenate(recs_id, 0),
                 jnp.concatenate(recs_vis, 0))

@@ -51,12 +51,18 @@ def _paths_fn(scene: Scene, cfg: RenderConfig):
     the fused megakernel when the scene qualifies, else the XLA wavefront."""
     if _mega_active(scene, cfg):
         from offline_raytracer_tpu.ops import mega
-        from offline_raytracer_tpu.replay import mega_paths_diff
+        from offline_raytracer_tpu.replay import mega_paths_diff, replay_paths
 
         def f(ro, rd, keys, collect_stats=False):
             if collect_stats:  # stats are forward-only diagnostics
                 return mega.render_paths_mega(
                     scene, cfg, ro, rd, keys, collect_stats=True)
+            if cfg.grad_mode == "replay-value":
+                # value from the XLA replay of the kernel's records: plain
+                # autodiff, so cotangents the caller doesn't use are DCE'd
+                # (the custom_vjp route computes all of them; see
+                # config.grad_mode). Same estimator on the same draws.
+                return replay_paths(scene, cfg, ro, rd, keys)
             return mega_paths_diff(scene, cfg, ro, rd, keys)
         return f
 
